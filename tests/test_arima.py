@@ -1,0 +1,89 @@
+"""Engine ARIMA sanity (no statsmodels in the image — the model is ours;
+tests assert statistical properties, determinism, and pipeline behavior)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyhydroqc_spark.operators import arima, detect
+
+
+def _ar1(n, phi=0.7, sigma=1.0, seed=5, const=0.0):
+    rng = np.random.default_rng(seed)
+    eps = rng.normal(0, sigma, n)
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = const + phi * x[i - 1] + eps[i]
+    return x, eps
+
+
+def test_fit_arma_recovers_ar1():
+    x, _ = _ar1(4000, phi=0.7)
+    c, phi, theta = arima.fit_arma(x, 1, 0)
+    assert abs(phi[0] - 0.7) < 0.05
+    assert abs(c) < 0.1
+
+
+def test_residuals_whiten_ar1():
+    x, eps = _ar1(3000, phi=0.8)
+    resid, pred, _ = arima.fit_arima(x, 1, 0, 0)
+    # residuals should match the true innovations closely after warmup
+    assert np.corrcoef(resid[10:], eps[10:])[0, 1] > 0.99
+    assert abs(resid[0]) == 0.0 and pred[0] == x[0]
+
+
+def test_arima_d1_prediction_tracks_level():
+    rng = np.random.default_rng(9)
+    x = np.cumsum(rng.normal(0.1, 1.0, 2000))  # random walk with drift
+    resid, pred, _ = arima.fit_arima(x, 1, 1, 1)
+    assert np.mean(np.abs(resid[5:])) < 3.0
+    assert np.max(np.abs(pred[5:] - x[5:])) < 15.0
+
+
+def test_forecast_deterministic_and_sane():
+    x, _ = _ar1(500, phi=0.6, const=2.0)
+    f1 = arima.forecast_arima(x, 20, order=(1, 0, 0))
+    f2 = arima.forecast_arima(x, 20, order=(1, 0, 0))
+    np.testing.assert_array_equal(f1, f2)
+    # AR(1) forecast decays toward the unconditional mean ~ c/(1-phi)=5
+    assert abs(f1[-1] - 5.0) < 2.5
+
+
+def test_auto_order_picks_differencing():
+    rng = np.random.default_rng(1)
+    rw = np.cumsum(rng.normal(0, 1, 1000))
+    p, d, q = arima.auto_order(rw)
+    assert d >= 1
+    stat, _ = _ar1(1000, phi=0.5)
+    _, d2, _ = arima.auto_order(stat)
+    assert d2 == 0
+
+
+def test_arima_detect_flags_spikes_without_rules(spark):
+    x, _ = _ar1(600, phi=0.7, sigma=0.3)
+    x[100] += 8.0
+    x[400] -= 8.0
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["s"] * len(x),
+            "pos": range(len(x)),
+            "ts": pd.date_range("2022-01-01", periods=len(x), freq="15min"),
+            "value": x,
+        }
+    )
+    from pyhydroqc_spark.params import SeriesParams
+
+    df = spark.createDataFrame(pdf)
+    out = detect.arima_detect(
+        df,
+        SeriesParams(window_sz=40, alpha=0.0001, threshold_min=0.1, pdq=(1, 0, 0), widen=1),
+        rules=False,
+    )
+    got = out.orderBy("pos").select("detected_anomaly", "detected_event").toPandas()
+    assert got["detected_anomaly"][100] and got["detected_anomaly"][400]
+    # events are widened ±1 around each spike and enumerated
+    assert got["detected_event"][99] > 0 and got["detected_event"][101] > 0
+    assert got["detected_event"].max() == 2
+    # false-positive rate stays low
+    assert got["detected_anomaly"].sum() <= 10
