@@ -1,0 +1,156 @@
+"""End-to-end resumable rollup pipeline.
+
+One run = ingest token partitions → QC (rules + ARIMA-residual flag) →
+correction → tier rollups (15min/1h/1d) → compressed series blobs, all
+committed per input partition with checkpoint/lineage rows (north_rule:
+"a killed job resumes exactly where it stopped").
+
+Incremental maintenance: a partition is (re)processed when it has no DONE
+checkpoint or when the input table's snapshot diff shows new files for it
+since the checkpointed snapshot — the Spark-idiomatic analogue of
+"continuous aggregates maintained incrementally as new partitions land".
+Each tier table commit is an atomic partition overwrite (Iceberg
+replacePartitions analogue — see tables.py).
+
+Skew: series are hash-repartitioned by doc_id before the grouped-map UDFs
+(hot sources own ~50% of series; doc_id hashing spreads them evenly;
+a series never splits across groups).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession, functions as F
+
+from .checkpoint import CheckpointLog, STATUS_DONE
+from .ingest import explode_tokens, repartition_series
+from .operators import correct as correct_mod
+from .operators import detect as detect_mod
+from .operators.rollup import DEFAULT_TIERS, rollup_from_rollup, rollup_points
+from .params import DEFAULT_PARAMS
+from .tables import SnapshotTable
+
+
+class PipelineResult:
+    def __init__(self):
+        self.partitions_processed: list[str] = []
+        self.partitions_skipped: list[str] = []
+        self.points_rolled_up: int = 0
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_table: SnapshotTable,
+    out_root: str,
+    params=None,
+    tiers=DEFAULT_TIERS,
+    run_id: str | None = None,
+    arima_order=(1, 1, 0),
+    with_model_detect: bool = True,
+    with_compression: bool = True,
+    n_partitions: int | None = None,
+    fail_after: int | None = None,
+) -> PipelineResult:
+    """Process all pending input partitions; idempotent and resumable.
+
+    ``fail_after`` is a test hook: raise after N partitions to simulate a
+    killed job.
+    """
+    p = params or DEFAULT_PARAMS
+    run_id = run_id or uuid.uuid4().hex[:8]
+    ckpt = CheckpointLog(os.path.join(out_root, "_checkpoints"))
+    tier_tables = {
+        t: SnapshotTable(os.path.join(out_root, f"rollup_{t}s")) for t in tiers
+    }
+    comp_table = SnapshotTable(os.path.join(out_root, "compressed")) if with_compression else None
+
+    res = PipelineResult()
+    in_snap = input_table.current_snapshot_id()
+    stage = "rollup"
+    done = 0
+    for part in sorted(input_table.partitions()):
+        last_snap = ckpt.last_input_snapshot(stage, part)
+        if last_snap > 0:
+            new = [
+                f
+                for f in input_table.added_files(last_snap, in_snap)
+                if input_table._load(in_snap)["files"].get(f) == part
+            ]
+            if not new:
+                res.partitions_skipped.append(part)
+                continue
+        part_files = [
+            f
+            for f, pv in input_table._load(in_snap)["files"].items()
+            if pv == part
+        ]
+        tok = spark.read.parquet(*part_files).withColumn("source", F.lit(part))
+        n_points = _process_partition(
+            spark, tok, part, p, tiers, tier_tables, comp_table,
+            arima_order, with_model_detect, n_partitions,
+        )
+        ckpt.write(
+            run_id, stage, part, in_snap, n_points,
+            STATUS_DONE, lineage=part_files,
+        )
+        res.partitions_processed.append(part)
+        res.points_rolled_up += n_points
+        done += 1
+        if fail_after is not None and done >= fail_after:
+            raise RuntimeError(f"simulated failure after {done} partitions")
+    return res
+
+
+def _process_partition(
+    spark, tok, part, p, tiers, tier_tables, comp_table,
+    arima_order, with_model_detect, n_partitions,
+) -> int:
+    long_df = explode_tokens(repartition_series(tok, n_partitions))
+    if with_model_detect:
+        detected = detect_mod.arima_detect(long_df, p, rules=True)
+    else:
+        from .operators import rules as rules_mod
+        from .operators.events import anomaly_events
+
+        qc = rules_mod.range_check(long_df, p.max_range, p.min_range)
+        qc = rules_mod.persistence(qc, p.persist)
+        qc = rules_mod.interpolate(qc)
+        detected = anomaly_events(qc, "anomaly", wf=p.widen, out_col="detected_event")
+    corrected = correct_mod.generate_corrections(
+        detected, "observed", "detected_event", arima_order=arima_order
+    )
+    slim = corrected.select("doc_id", "ts", "pos", "det_cor").cache()
+    try:
+        tiers_sorted = sorted(tiers)
+        finest = rollup_points(slim, tiers_sorted[0]).cache()
+        total = 0
+        agg = finest
+        for t in tiers_sorted:
+            if t != tiers_sorted[0]:
+                agg = rollup_from_rollup(agg.drop("tier"), t)
+            n = agg.count()
+            tier_tables[t].overwrite_partition(agg, part)
+            total += n
+        if comp_table is not None:
+            from .compression import encode_series_df
+
+            comp_table.overwrite_partition(encode_series_df(slim), part)
+        return total
+    finally:
+        slim.unpersist()
+        try:
+            finest.unpersist()
+        except Exception:
+            pass
+
+
+def retention_sweep(out_root: str, tiers=DEFAULT_TIERS, keep_pred=None) -> None:
+    """Metadata-only retention: drop aged partitions + expire old snapshots
+    per tier table (Iceberg expire_snapshots analogue)."""
+    for t in tiers:
+        tbl = SnapshotTable(os.path.join(out_root, f"rollup_{t}s"))
+        if keep_pred is not None:
+            tbl.drop_partitions(keep_pred)
+        tbl.expire_snapshots(keep_last=2)

@@ -25,6 +25,14 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # make the package importable in local-mode Python workers regardless of
+    # the driver's cwd (a real cluster ships it via spark-submit --py-files)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

@@ -1,0 +1,155 @@
+"""Snapshot-versioned parquet tables — the engine's table format.
+
+The production design targets Apache Iceberg (snapshot isolation, MERGE
+INTO, expire_snapshots); the runtime image ships no Iceberg jars, so the
+engine carries a minimal structural equivalent with the same contracts:
+
+* every ``append``/``overwrite_partition`` commit writes immutable parquet
+  files plus a JSON snapshot manifest listing the live files;
+* readers pin a snapshot id → repeatable reads while writers commit;
+* ``added_files(a, b)`` → snapshot-diff drives incremental rollup
+  maintenance (only new partitions since the checkpointed snapshot);
+* ``expire(before_snapshot)`` / ``drop_partitions(pred)`` → retention is a
+  metadata-only operation, exactly like Iceberg partition drops.
+
+Layout::
+
+    root/
+      data/<commit-uuid>/part-*.parquet
+      _snapshots/v00001.json   {"id", "parent", "files": {file: partition}}
+      _snapshots/CURRENT       ("1")
+
+Swapping this for real Iceberg is a one-module change: the pipeline only
+uses append / read / added_files / overwrite_partition / drop_partitions.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def current_snapshot_id(self) -> int:
+        cur = os.path.join(self.snap_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.snap_dir, f"v{sid:05d}.json")
+
+    def _load(self, sid: int) -> dict:
+        if sid == 0:
+            return {"id": 0, "parent": None, "files": {}}
+        with open(self._snap_path(sid)) as f:
+            return json.load(f)
+
+    def _commit(self, files: dict) -> int:
+        parent = self.current_snapshot_id()
+        sid = parent + 1
+        snap = {"id": sid, "parent": parent, "files": files}
+        tmp = self._snap_path(sid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, self._snap_path(sid))
+        cur_tmp = os.path.join(self.snap_dir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
+        return sid
+
+    # -- writes ---------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame, partition: str | None) -> list[str]:
+        commit_dir = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(commit_dir)
+        return sorted(glob.glob(os.path.join(commit_dir, "*.parquet")))
+
+    def append(self, df: DataFrame, partition: str | None = None) -> int:
+        """Append rows as a new snapshot; ``partition`` tags the files for
+        partition-level overwrite/retention."""
+        new_files = self._write_files(df, partition)
+        files = dict(self._load(self.current_snapshot_id())["files"])
+        for fp in new_files:
+            files[fp] = partition
+        return self._commit(files)
+
+    def overwrite_partition(self, df: DataFrame, partition: str) -> int:
+        """Replace all files of one partition (Iceberg replacePartitions /
+        MERGE-by-partition analogue) in a single atomic snapshot."""
+        new_files = self._write_files(df, partition)
+        files = {
+            fp: p
+            for fp, p in self._load(self.current_snapshot_id())["files"].items()
+            if p != partition
+        }
+        for fp in new_files:
+            files[fp] = partition
+        return self._commit(files)
+
+    # -- reads ----------------------------------------------------------------
+
+    def files(self, snapshot_id: int | None = None) -> list[str]:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        return sorted(self._load(sid)["files"].keys())
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+        fs = self.files(snapshot_id)
+        if not fs:
+            return None
+        return spark.read.parquet(*fs)
+
+    def added_files(self, from_snapshot: int, to_snapshot: int | None = None) -> list[str]:
+        """Files present in ``to`` but not in ``from`` — the incremental diff."""
+        to_snapshot = self.current_snapshot_id() if to_snapshot is None else to_snapshot
+        old = set(self._load(from_snapshot)["files"])
+        new = self._load(to_snapshot)["files"]
+        return sorted(set(new) - old)
+
+    def partitions(self, snapshot_id: int | None = None) -> set:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        return {p for p in self._load(sid)["files"].values() if p is not None}
+
+    # -- retention ------------------------------------------------------------
+
+    def drop_partitions(self, keep_pred) -> int:
+        """Metadata-only retention: new snapshot without partitions failing
+        ``keep_pred(partition) -> bool``."""
+        files = {
+            fp: p
+            for fp, p in self._load(self.current_snapshot_id())["files"].items()
+            if p is None or keep_pred(p)
+        }
+        return self._commit(files)
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Delete manifests older than the newest ``keep_last`` and any data
+        files no longer referenced by a live snapshot."""
+        cur = self.current_snapshot_id()
+        live_ids = [s for s in range(max(1, cur - keep_last + 1), cur + 1)]
+        live_files: set[str] = set()
+        for sid in live_ids:
+            live_files |= set(self._load(sid)["files"])
+        removed = []
+        for path in glob.glob(os.path.join(self.snap_dir, "v*.json")):
+            sid = int(os.path.basename(path)[1:6])
+            if sid not in live_ids:
+                os.remove(path)
+        for fp in glob.glob(os.path.join(self.root, "data", "*", "*.parquet")):
+            if fp not in live_files:
+                os.remove(fp)
+                removed.append(fp)
+        return removed

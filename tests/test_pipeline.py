@@ -1,0 +1,134 @@
+"""End-to-end pipeline: snapshot tables, checkpointing, resume-equivalence,
+incremental maintenance, retention."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyhydroqc_spark import pipeline as P
+from pyhydroqc_spark.checkpoint import CheckpointLog
+from pyhydroqc_spark.datagen import gen_token_table
+from pyhydroqc_spark.params import SeriesParams
+from pyhydroqc_spark.tables import SnapshotTable
+
+PARAMS = SeriesParams(max_range=25.0, min_range=-1.0, persist=30, window_sz=30,
+                      alpha=0.0001, threshold_min=0.25, widen=1, pdq=(1, 1, 0))
+
+
+def _tok_schema():
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+    return StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType(), False), False),
+        StructField("n_tok", IntegerType(), False),
+        StructField("source", StringType(), False),
+    ])
+
+
+def _input_table(spark, tmp, n_series=6, n_tok=900, seed=42):
+    pdf = gen_token_table(n_series=n_series, n_tok=n_tok, seed=seed)
+    tbl = SnapshotTable(os.path.join(tmp, "input"))
+    for src in sorted(pdf["source"].unique()):
+        part = spark.createDataFrame(pdf[pdf.source == src], schema=_tok_schema())
+        tbl.append(part, partition=src)
+    return tbl, pdf
+
+
+def _read_tier(spark, root, tier):
+    t = SnapshotTable(os.path.join(root, f"rollup_{tier}s"))
+    df = t.read(spark)
+    return (
+        df.orderBy("doc_id", "bucket_start").toPandas() if df is not None else None
+    )
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    tmp = str(tmp_path)
+    tbl, pdf = _input_table(spark, tmp)
+    res = P.run_pipeline(
+        spark, tbl, os.path.join(tmp, "out"), PARAMS,
+        with_model_detect=False, arima_order=(1, 1, 0),
+    )
+    assert res.points_rolled_up > 0
+    for tier in (900, 3600, 86400):
+        agg = _read_tier(spark, os.path.join(tmp, "out"), tier)
+        assert agg is not None and len(agg) > 0
+        assert (agg["cnt"] > 0).all()
+    # every series surfaces in the finest tier
+    fin = _read_tier(spark, os.path.join(tmp, "out"), 900)
+    assert set(fin["doc_id"]) == set(pdf["doc_id"])
+    # compressed blobs round-trip row counts
+    comp = SnapshotTable(os.path.join(tmp, "out", "compressed")).read(spark).toPandas()
+    assert set(comp["doc_id"]) == set(pdf["doc_id"])
+    assert (comp["n_tok"] == 900).all()
+
+
+def test_resume_equivalence(spark, tmp_path):
+    """Killed after 1 partition → rerun → outputs identical to one-shot."""
+    tmp1, tmp2 = str(tmp_path / "a"), str(tmp_path / "b")
+    tbl1, _ = _input_table(spark, tmp1)
+    tbl2, _ = _input_table(spark, tmp2)
+
+    out1 = os.path.join(tmp1, "out")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        P.run_pipeline(spark, tbl1, out1, PARAMS, with_model_detect=False,
+                       arima_order=(1, 1, 0), fail_after=1)
+    ck = CheckpointLog(os.path.join(out1, "_checkpoints"))
+    assert len(ck.done_partitions("rollup")) == 1
+    res = P.run_pipeline(spark, tbl1, out1, PARAMS, with_model_detect=False,
+                         arima_order=(1, 1, 0))
+    assert len(res.partitions_skipped) == 1  # the finished one was not redone
+
+    out2 = os.path.join(tmp2, "out")
+    P.run_pipeline(spark, tbl2, out2, PARAMS, with_model_detect=False,
+                   arima_order=(1, 1, 0))
+    for tier in (900, 3600, 86400):
+        a = _read_tier(spark, out1, tier)
+        b = _read_tier(spark, out2, tier)
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_incremental_new_partition(spark, tmp_path):
+    tmp = str(tmp_path)
+    tbl, pdf = _input_table(spark, tmp)
+    out = os.path.join(tmp, "out")
+    P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
+    # second run: nothing new → everything skipped
+    res2 = P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
+    assert not res2.partitions_processed
+
+    # new data lands in one source → only that partition recomputes
+    extra = gen_token_table(n_series=2, n_tok=600, seed=99)
+    extra["source"] = "src0"
+    extra["doc_id"] = ["src0:new0", "src0:new1"]
+    tbl.append(spark.createDataFrame(extra, schema=_tok_schema()), partition="src0")
+    res3 = P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
+    assert res3.partitions_processed == ["src0"]
+    fin = _read_tier(spark, out, 900)
+    assert "src0:new0" in set(fin["doc_id"])
+
+
+def test_lineage_and_metrics_rows(spark, tmp_path):
+    tmp = str(tmp_path)
+    tbl, _ = _input_table(spark, tmp)
+    out = os.path.join(tmp, "out")
+    P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
+    ck = CheckpointLog(os.path.join(out, "_checkpoints")).read(spark).toPandas()
+    assert (ck["status"] == "done").all()
+    assert (ck["point_count"] > 0).all()
+    assert ck["lineage"].map(lambda s: len(s) > 2).all()  # real file lists
+
+
+def test_retention_sweep(spark, tmp_path):
+    tmp = str(tmp_path)
+    tbl, _ = _input_table(spark, tmp)
+    out = os.path.join(tmp, "out")
+    P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
+    P.retention_sweep(out, keep_pred=lambda p: p != "src0")
+    fin = _read_tier(spark, out, 900)
+    assert not any(d.startswith("src0") for d in fin["doc_id"])
