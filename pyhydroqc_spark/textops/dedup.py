@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure DataFrame ops (hash/HOF expressions stay in
+whole-stage codegen; the only shuffles are the ones the semantics demand):
+
+* ``exact_dedup``     — content-hash groupBy; one shuffle on the digest.
+* ``wordset_dedup``   — order/multiplicity-insensitive normalized key.
+* ``jaccard_pairs``   — word-level Jaccard via explode + equi-join on the
+  token. The token join is the scale hazard (hot tokens ≈ skewed keys):
+  ``max_doc_freq`` drops tokens present in more than that fraction of docs
+  (stopword cut), which both bounds skew and removes pairs that share only
+  noise. AQE skew-join handles the rest.
+* ``minhash_lsh``     — shingle→minhash→band→bucket-join: candidate pairs
+  only for docs sharing a band bucket; cost is O(candidates), not O(n²).
+* ``simhash``         — 64-bit near-dup signature; hamming-ball pairing via
+  band buckets on signature quarters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _words(text_col: str, lowercase: bool = True):
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    return F.array_remove(F.split(c, r"\s+"), "")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per duplicate group: (keep_id, dup_cnt) where keep_id is the
+    smallest id with that exact content."""
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .drop("__h")
+    )
+
+
+def wordset_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Dedup on the sorted distinct word set (bag-of-words identity)."""
+    key = F.md5(F.array_join(F.array_sort(F.array_distinct(_words(text_col))), " "))
+    return (
+        df.withColumn("__k", key)
+        .groupBy("__k")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .drop("__k")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with word-set Jaccard ≥ threshold.
+
+    J(A,B) = |A∩B| / (|A|+|B|−|A∩B|), sets of distinct lowercase words.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_words(text_col))).alias("w"))
+    )
+    if max_doc_freq is not None:
+        n_docs = df.count()
+        hot = (
+            toks.groupBy("w").agg(F.countDistinct("id").alias("df"))
+            .where(F.col("df") > max_doc_freq * n_docs)
+            .select("w")
+        )
+        toks = toks.join(F.broadcast(hot), "w", "left_anti")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature array<long>): min over shingle hashes per permutation.
+
+    Permutation i is xxhash64(shingle, seed=i) — all inside higher-order
+    functions, no Python. Shingles are character k-grams.
+    """
+    c = F.lower(F.col(text_col))
+    n = F.length(c)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n - (shingle_k - 1))),
+        lambda i: c.substr(i, F.lit(shingle_k)),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda s: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, s))),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_candidates(
+    sig_df: DataFrame, bands: int = 8
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    num_perm = None  # derived per-row from signature length
+    sig_df = sig_df.withColumn("__n", F.size("signature"))
+    r = F.col("__n") / bands
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                (bidx * (F.col("__n") / bands) + 1).cast("int"),
+                                (F.col("__n") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over distinct words: bit j of the signature is the sign
+    of Σ_w (±1 depending on bit j of xxhash64(w))."""
+    from functools import reduce
+
+    words = F.array_distinct(_words(text_col))
+    acc = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda a, w: F.zip_with(
+            a,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(w), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    tmp = df.select(F.col(id_col).alias("id"), acc.alias("__acc"))
+    sig = reduce(
+        lambda s, j: s.bitwiseOR(
+            F.when(
+                F.element_at("__acc", j + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return tmp.select("id", sig.alias("simhash"))
+
+
+def simhash_candidates(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs via 16-bit quarter-band buckets (a pair within hamming
+    distance 3 shares at least one exact quarter), then exact hamming check."""
+    quarters = F.array(
+        *[
+            F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF))
+            for q in range(4)
+        ]
+    )
+    banded = sig_df.select("id", "simhash", F.posexplode(quarters).alias("q", "qv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,120 @@
+"""Text analysis for training-data curation — language ID, quality scoring,
+token counting, document fingerprinting. All pure column expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny deterministic marker lexicons (public common-word lists)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "pour"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ist"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他"],
+}
+
+
+def _words(text_col: str):
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_distinct_words, n_chars, avg_word_len)."""
+    w = _words(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        (
+            F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(w)
+        ).alias("avg_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic [0,1] quality score: length band + lexical diversity +
+    alnum ratio (the usual pre-training quality gates)."""
+    w = _words(text_col)
+    n_chars = F.length(text_col)
+    alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
+    diversity = F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
+    len_ok = F.when((n_chars >= 64) & (n_chars <= 100000), 1.0).otherwise(
+        F.least(n_chars / 64.0, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        ((len_ok + diversity + alnum / F.greatest(n_chars, F.lit(1))) / 3.0).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: the language whose marker set intersects
+    the document's word set most (ties → lexicographic)."""
+    w = F.array_distinct(_words(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(w, F.array(*[F.lit(m) for m in marks]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # struct compare is fieldwise: max by hits, ties by ordr = −index so the
+    # lexicographically first language wins
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(LANG_MARKERS) - 1)),
+        lambda i: F.struct(
+            F.element_at(scores, i + 1)["hits"].alias("hits"),
+            (-i).alias("ordr"),
+            F.element_at(scores, i + 1)["lang"].alias("lang"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.array_max(ranked)["lang"].alias("lang_pred")
+    )
+
+
+def token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (4 chars/token rule +
+    punctuation splits — the standard cheap estimator)."""
+    w = _words(text_col)
+    pieces = F.array_remove(
+        F.split(F.col(text_col), r"[\s\p{Punct}]+"), ""
+    )
+    subword = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.ceil(F.length(x) / 4.0).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).cast("long").alias("ws_tokens"),
+        subword.alias("bpe_est_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Winnowing-style fingerprint: min xxhash64 over character k-gram
+    shingles (order-insensitive, whitespace-normalized)."""
+    c = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n = F.length(c)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n - (k - 1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(F.transform(sh, lambda g: F.xxhash64(g))).alias("fingerprint"),
+    )
