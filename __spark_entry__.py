@@ -1,38 +1,718 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry runs a pyhydroqc_spark engine operator (SURVEY.md
+§2) over the driver's parquet tables; ``oracle_sql()`` holds the equivalent
+ANSI SQL for DuckDB. Column names/types are aligned on both sides (floats
+rounded to 6dp; ids/counters cast to BIGINT; buckets as epoch seconds).
+
+The events table plays the role of raw sensor observations: series key =
+user_id, ordered by (ts, event_id). Out-of-range band for QC checks:
+value > 400 or value < 5.
 """
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from pyhydroqc_spark.stats import z_for_alpha
+
+MAXR, MINR = 400.0, 5.0
+Z_05 = z_for_alpha(0.05)  # 1.959963984540054
+
+BASE_SQL = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS pos,
+         ts, value
+  FROM events
+)
+"""
+
+
+def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "ts",
+        "value",
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize the events stream into the canonical token table,
+    explode, run rules QC (range + persistence + interpolate), roll up the
+    QC'd series to the 15-minute tier."""
+    from pyhydroqc_spark.ingest import explode_tokens, tokenize_long_table
+    from pyhydroqc_spark.operators import rollup, rules
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tok = tokenize_long_table(ev, "user_id", "ts", "value", lo=0.0, hi=500.0)
+    long_df = explode_tokens(tok, lo=0.0, hi=500.0)
+    qc = rules.range_check(long_df, MAXR, MINR)
+    qc = rules.persistence(qc, 3, value_col="value")
+    qc = rules.interpolate(qc)
+    return rollup.rollup_points(qc, 900, value_col="observed")
+
+
+# --------------------------------------------------------------------------
+# queries — engine operators over the driver tables
+# --------------------------------------------------------------------------
+
+def q_range_counts(spark, sf_dir):
+    from pyhydroqc_spark.operators import rules
+
+    df = rules.range_check(_events_long(spark, sf_dir), MAXR, MINR)
+    return df.groupBy("doc_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col("anomaly").cast("long")).alias("n_anomalies"),
+    )
+
+
+def q_max_anomaly_run(spark, sf_dir):
+    from pyhydroqc_spark.operators import rules
+
+    df = rules.range_check(_events_long(spark, sf_dir), MAXR, MINR)
+    out = rules.group_size(df)
+    return out.select("doc_id", F.col("max_run_len").cast("long").alias("max_run_len"))
+
+
+def q_persistence_counts(spark, sf_dir):
+    from pyhydroqc_spark.operators import rules
+
+    df = _events_long(spark, sf_dir).withColumn("vq", F.round(F.col("value") / 50))
+    df = df.withColumn("anomaly", F.lit(False))
+    out = rules.persistence(df, 3, value_col="vq", output_grp=True)
+    return out.groupBy("doc_id").agg(
+        F.sum((F.col("persist_grp") > 0).cast("long")).alias("persist_points"),
+        F.sum(F.col("anomaly").cast("long")).alias("flagged_points"),
+    )
+
+
+def q_interpolated(spark, sf_dir):
+    from pyhydroqc_spark.operators import rules
+
+    df = rules.range_check(_events_long(spark, sf_dir), MAXR, MINR)
+    out = rules.interpolate(df)
+    return out.select("doc_id", "pos", F.round("observed", 6).alias("observed"))
+
+
+def q_dynamic_threshold(spark, sf_dir):
+    from pyhydroqc_spark.operators import threshold
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "residual")
+    out = threshold.dynamic_threshold(df, "residual", window_sz=30, alpha=0.05, min_range=1.0)
+    return out.select(
+        "doc_id", "pos", F.round("low", 6).alias("low"), F.round("high", 6).alias("high")
+    )
+
+
+def q_threshold_detect_counts(spark, sf_dir):
+    from pyhydroqc_spark.operators import threshold
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "residual")
+    out = threshold.dynamic_threshold(df, "residual", window_sz=30, alpha=0.05, min_range=1.0)
+    out = threshold.detect_threshold_anomalies(out, "residual")
+    return out.groupBy("doc_id").agg(
+        F.sum(F.col("detected_anomaly").cast("long")).alias("n_detected")
+    )
+
+
+def q_anomaly_events(spark, sf_dir):
+    from pyhydroqc_spark.operators import events, rules
+
+    df = rules.range_check(_events_long(spark, sf_dir), MAXR, MINR)
+    out = events.anomaly_events(df, "anomaly", wf=1)
+    return out.select("doc_id", "pos", F.col("event_id").cast("long").alias("event_id"))
+
+
+def q_group_bools(spark, sf_dir):
+    from pyhydroqc_spark.operators import events, rules
+
+    df = rules.range_check(_events_long(spark, sf_dir), MAXR, MINR)
+    out = events.group_bools(df, "anomaly", "group_id")
+    return out.select("doc_id", "pos", F.col("group_id").cast("long").alias("group_id"))
+
+
+def _rollup(spark, sf_dir, tier):
+    from pyhydroqc_spark.operators import rollup
+
+    df = _events_long(spark, sf_dir)
+    out = rollup.rollup_points(df, tier, value_col="value")
+    return out.select(
+        "doc_id",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
+def q_rollup_15min(spark, sf_dir):
+    return _rollup(spark, sf_dir, 900)
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _rollup(spark, sf_dir, 3600)
+
+
+def q_rollup_1d(spark, sf_dir):
+    return _rollup(spark, sf_dir, 86400)
+
+
+def q_rollup_tiered_1d(spark, sf_dir):
+    from pyhydroqc_spark.operators import rollup
+
+    df = _events_long(spark, sf_dir)
+    h1 = rollup.rollup_points(df, 3600, value_col="value")
+    d1 = rollup.rollup_from_rollup(h1.drop("tier"), 86400)
+    return d1.select(
+        "doc_id",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
+def q_edge_filter(spark, sf_dir):
+    from pyhydroqc_spark.operators import calibration
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
+    out = calibration.edge_filter(df, 4)
+    return out.select("doc_id", "pos", F.round("edge_diff", 6).alias("edge_diff"))
+
+
+def q_business_hours(spark, sf_dir):
+    df = _events_long(spark, sf_dir)
+    return df.groupBy("doc_id").agg(
+        F.sum(
+            (
+                F.dayofweek("ts").between(2, 6) & F.hour("ts").between(7, 17)
+            ).cast("long")
+        ).alias("business_rows")
+    )
+
+
+def q_drift_ramp(spark, sf_dir):
+    from pyhydroqc_spark.operators import calibration
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
+    out = calibration.lin_drift_ramp(
+        df,
+        datetime.datetime(2024, 1, 10),
+        datetime.datetime(2024, 1, 20),
+        -50.0,
+    )
+    return out.select("doc_id", "pos", F.round("ldc", 6).alias("ldc"))
+
+
+def q_tokenize_stats(spark, sf_dir):
+    from pyhydroqc_spark.ingest import tokenize_long_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tok = tokenize_long_table(ev, "user_id", "ts", "value", lo=0.0, hi=500.0)
+    return tok.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.array_min("tokens").cast("long").alias("tok_min"),
+        F.array_max("tokens").cast("long").alias("tok_max"),
+    )
+
+
+def q_params_join(spark, sf_dir):
+    from pyhydroqc_spark.operators import rules
+
+    df = _events_long(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.col("doc_id").cast("long"), F.lit(5)).cast("long")
+    )
+    dim = spark.createDataFrame(
+        [(i, 400.0 - 50 * i, 5.0) for i in range(5)], "bucket long, mx double, mn double"
+    )
+    joined = df.join(F.broadcast(dim), "bucket")
+    out = rules.range_check(joined, F.col("mx"), F.col("mn"))
+    return out.groupBy("bucket").agg(
+        F.sum(F.col("anomaly").cast("long")).alias("n_anomalies")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pyhydroqc_spark.textops import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select(
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_cnt").cast("long").alias("dup_cnt"),
+    )
+
+
+def q_dedup_wordset(spark, sf_dir):
+    from pyhydroqc_spark.textops import dedup
+
+    return dedup.wordset_dedup(_docs(spark, sf_dir)).select(
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_cnt").cast("long").alias("dup_cnt"),
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from pyhydroqc_spark.textops import dedup
+
+    out = dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from pyhydroqc_spark.textops import ann
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ann.cosine_topk(emb, queries, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    from pyhydroqc_spark.textops import quality
+
+    out = quality.text_stats(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    from pyhydroqc_spark.textops import quality
+
+    out = quality.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("quality", 6).alias("quality")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from pyhydroqc_spark.textops import quality
+
+    out = quality.token_count(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+    )
+
+
+def q_lang_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+# rows-only checks (hash-function- or plan-specific; no portable SQL oracle)
+
+def q_minhash_candidates(spark, sf_dir):
+    from pyhydroqc_spark.textops import dedup
+
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir), num_perm=32)
+    return dedup.minhash_candidates(sig, bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    from pyhydroqc_spark.textops import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_lsh_topk(spark, sf_dir):
+    from pyhydroqc_spark.textops import ann
+
+    emb = _emb(spark, sf_dir)
+    return ann.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8)
+
+
+def q_lang_id(spark, sf_dir):
+    from pyhydroqc_spark.textops import quality
+
+    return quality.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from pyhydroqc_spark.textops import quality
+
+    return quality.fingerprint(_docs(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "range_counts": q_range_counts,
+        "max_anomaly_run": q_max_anomaly_run,
+        "persistence_counts": q_persistence_counts,
+        "interpolated": q_interpolated,
+        "dynamic_threshold": q_dynamic_threshold,
+        "threshold_detect_counts": q_threshold_detect_counts,
+        "anomaly_events": q_anomaly_events,
+        "group_bools": q_group_bools,
+        "rollup_15min": q_rollup_15min,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "rollup_tiered_1d": q_rollup_tiered_1d,
+        "edge_filter": q_edge_filter,
+        "business_hours": q_business_hours,
+        "drift_ramp": q_drift_ramp,
+        "tokenize_stats": q_tokenize_stats,
+        "params_join": q_params_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_wordset": q_dedup_wordset,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "lang_stats": q_lang_stats,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["range_counts"] = BASE_SQL + f"""
+SELECT doc_id, COUNT(*) AS n_points,
+       SUM(CASE WHEN value > {MAXR} OR value < {MINR} THEN 1 ELSE 0 END) AS n_anomalies
+FROM base GROUP BY doc_id
+"""
+
+    sql["max_anomaly_run"] = BASE_SQL + f"""
+, fl AS (
+  SELECT doc_id, pos, (value > {MAXR} OR value < {MINR}) AS f FROM base
+), lg AS (
+  SELECT doc_id, pos, f,
+         CASE WHEN f AND NOT COALESCE(LAG(f) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS started
+  FROM fl
+), runs AS (
+  SELECT doc_id, pos, f,
+         SUM(started) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM lg
+)
+SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_run_len FROM (
+  SELECT doc_id, rid, COUNT(*) AS cnt FROM runs WHERE f GROUP BY doc_id, rid
+) GROUP BY doc_id
+"""
+
+    sql["persistence_counts"] = BASE_SQL + """
+, vq AS (SELECT doc_id, pos, ROUND(value / 50) AS v FROM base),
+rep AS (
+  SELECT doc_id, pos,
+         COALESCE(v = LAG(v) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS r
+  FROM vq
+), lg AS (
+  SELECT doc_id, pos, r,
+         CASE WHEN r AND NOT COALESCE(LAG(r) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS started
+  FROM rep
+), runs AS (
+  SELECT doc_id, pos, r,
+         SUM(started) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM lg
+), lens AS (
+  SELECT doc_id, pos, r, rid,
+         CASE WHEN r THEN COUNT(*) OVER (PARTITION BY doc_id, rid, r) ELSE 0 END AS rl
+  FROM runs
+)
+SELECT doc_id,
+       SUM(CASE WHEN r THEN 1 ELSE 0 END) AS persist_points,
+       SUM(CASE WHEN r AND rl >= 3 THEN 1 ELSE 0 END) AS flagged_points
+FROM lens GROUP BY doc_id
+"""
+
+    sql["interpolated"] = BASE_SQL + f"""
+, m AS (
+  SELECT doc_id, pos,
+         CASE WHEN value > {MAXR} OR value < {MINR} THEN NULL ELSE value END AS mv
+  FROM base
+), f AS (
+  SELECT doc_id, pos, mv,
+         LAST_VALUE(mv IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN mv IS NOT NULL THEN pos END IGNORE NULLS) OVER wp AS pr,
+         FIRST_VALUE(mv IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN mv IS NOT NULL THEN pos END IGNORE NULLS) OVER wn AS nr
+  FROM m WINDOW
+    wp AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, pos, ROUND(CASE
+    WHEN mv IS NOT NULL THEN mv
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (pos - pr) / (nr - pr) END, 6) AS observed
+FROM f
+"""
+
+    sql["dynamic_threshold"] = BASE_SQL + f"""
+, t AS (
+  SELECT doc_id, pos,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+)
+SELECT doc_id, pos,
+       ROUND(mu - GREATEST(1.0, {Z_05!r} * sd), 6) AS low,
+       ROUND(mu + GREATEST(1.0, {Z_05!r} * sd), 6) AS high
+FROM t
+"""
+
+    sql["threshold_detect_counts"] = BASE_SQL + f"""
+, t AS (
+  SELECT doc_id, pos, value,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+)
+SELECT doc_id,
+       SUM(CASE WHEN value < mu - GREATEST(1.0, {Z_05!r} * sd)
+                 OR value > mu + GREATEST(1.0, {Z_05!r} * sd) THEN 1 ELSE 0 END) AS n_detected
+FROM t GROUP BY doc_id
+"""
+
+    sql["anomaly_events"] = BASE_SQL + f"""
+, fl AS (
+  SELECT doc_id, pos, (value > {MAXR} OR value < {MINR}) AS f,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM base
+), wd AS (
+  SELECT doc_id, pos,
+         (rn > 1 AND rn <= n - 1 AND
+          MAX(CASE WHEN f THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1) AS w
+  FROM fl
+), lg AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w AND NOT COALESCE(LAG(w) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS started
+  FROM wd
+), runs AS (
+  SELECT doc_id, pos, w,
+         SUM(started) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM lg
+)
+SELECT doc_id, pos, CAST(CASE WHEN w THEN rid ELSE 0 END AS BIGINT) AS event_id FROM runs
+"""
+
+    sql["group_bools"] = BASE_SQL + f"""
+, fl AS (
+  SELECT doc_id, pos, CAST(value > {MAXR} OR value < {MINR} AS INT) AS f FROM base
+), lg AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(f) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+                   AND f != LAG(f) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 1 ELSE 0 END AS chg
+  FROM fl
+)
+SELECT doc_id, pos,
+       CAST(SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS group_id
+FROM lg
+"""
+
+    for name, tier in [("rollup_15min", 900), ("rollup_1h", 3600), ("rollup_1d", 86400)]:
+        sql[name] = BASE_SQL + f"""
+SELECT doc_id,
+       CAST(FLOOR(EPOCH(ts) / {tier}) * {tier} AS BIGINT) AS bucket_s,
+       COUNT(value) AS cnt,
+       ROUND(SUM(value), 6) AS sum_val,
+       ROUND(AVG(value), 6) AS avg_val,
+       ROUND(MIN(value), 6) AS min_val,
+       ROUND(MAX(value), 6) AS max_val
+FROM base GROUP BY doc_id, bucket_s
+"""
+    sql["rollup_tiered_1d"] = sql["rollup_1d"]
+
+    sql["edge_filter"] = BASE_SQL + """
+, st AS (
+  SELECT doc_id, pos, value,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         SUM(value) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s_before,
+         SUM(value) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s_after
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, pos,
+       ROUND(CASE WHEN rn > 4 AND rn <= n - 4 THEN (s_before - s_after) / 4 ELSE 0.0 END, 6) AS edge_diff
+FROM st
+"""
+
+    sql["business_hours"] = BASE_SQL + """
+SELECT doc_id,
+       SUM(CASE WHEN dayofweek(ts) BETWEEN 1 AND 5 AND hour(ts) BETWEEN 7 AND 17
+                THEN 1 ELSE 0 END) AS business_rows
+FROM base GROUP BY doc_id
+"""
+
+    sql["drift_ramp"] = BASE_SQL + """
+, b AS (
+  SELECT doc_id, pos, value,
+         (ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00') AS inw
+  FROM base
+), r AS (
+  SELECT doc_id, pos, value, inw,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, inw ORDER BY pos) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY doc_id, inw) AS cnt
+  FROM b
+)
+SELECT doc_id, pos,
+       ROUND(CASE WHEN inw THEN value + (-50.0) / (cnt - 1) * i ELSE value END, 6) AS ldc
+FROM r
+"""
+
+    sql["tokenize_stats"] = BASE_SQL + """
+, q AS (
+  SELECT doc_id, CAST(round_even(value / 500.0 * 65535, 0) AS BIGINT) AS tok FROM base
+)
+SELECT doc_id, COUNT(*) AS n_tok, SUM(tok) AS tok_sum,
+       MIN(tok) AS tok_min, MAX(tok) AS tok_max
+FROM q GROUP BY doc_id
+"""
+
+    sql["params_join"] = BASE_SQL + """
+, dim AS (
+  SELECT * FROM (VALUES (0, 400.0, 5.0), (1, 350.0, 5.0), (2, 300.0, 5.0),
+                        (3, 250.0, 5.0), (4, 200.0, 5.0)) AS t(bucket, mx, mn)
+)
+SELECT CAST(dim.bucket AS BIGINT) AS bucket,
+       SUM(CASE WHEN b.value > dim.mx OR b.value < dim.mn THEN 1 ELSE 0 END) AS n_anomalies
+FROM base b JOIN dim ON CAST(b.doc_id AS BIGINT) % 5 = dim.bucket
+GROUP BY dim.bucket
+"""
+
+    sql["dedup_exact"] = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["dedup_wordset"] = r"""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents
+GROUP BY md5(array_to_string(list_sort(list_distinct(
+  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))), ' '))
+"""
+
+    sql["jaccard_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS wd
+  FROM documents
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+  FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+  GROUP BY ia, ib
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM c
+JOIN sz sa ON sa.doc_id = ia
+JOIN sz sb ON sb.doc_id = ib
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+"""
+
+    sql["ann_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+  SELECT q.qid, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rank
+  FROM embeddings e, q WHERE e.vec_id != q.qid
+) WHERE rank <= 10
+"""
+
+    sql["text_stats"] = r"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(list_aggregate(list_transform(words, x -> length(x)), 'sum') * 1.0 / len(words), 6) AS avg_word_len
+FROM w
+"""
+
+    sql["quality_score"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS alnum,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
+  FROM documents
+)
+SELECT doc_id AS id,
+       ROUND((
+         (CASE WHEN nc BETWEEN 64 AND 100000 THEN 1.0 ELSE LEAST(nc / 64.0, 1.0) END)
+         + len(list_distinct(words)) * 1.0 / GREATEST(len(words), 1)
+         + alnum * 1.0 / GREATEST(nc, 1)
+       ) / 3.0, 6) AS quality
+FROM s
+"""
+
+    sql["token_count"] = r"""
+SELECT doc_id AS id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens
+FROM documents
+"""
+
+    sql["lang_stats"] = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+    return sql

@@ -115,12 +115,13 @@ def tokenize_long_table(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col)
     src = F.col(source_col) if source_col else F.lit("default")
-    ranked = long_df.select(
+    base = long_df.select(
         F.col(key_col).cast("string").alias("doc_id"),
         src.alias("source"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
-    ).withColumn("pos", F.row_number().over(w) - 1)
+    )
+    w = Window.partitionBy("doc_id").orderBy("ts")
+    ranked = base.withColumn("pos", F.row_number().over(w) - 1)
     return collapse_to_tokens(ranked, "value", lo, hi)

@@ -1,0 +1,52 @@
+"""Driver-contract regression: every queries() entry matches its oracle_sql()
+on DuckDB at sf0.001 (the full sf0.01 sweep runs via tools/check_contract.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    mine = QUERIES[name](spark, SF).toPandas()
+    theirs = con.execute(ORACLES[name]).df()
+    assert sorted(mine.columns) == sorted(theirs.columns), name
+    assert len(mine) == len(theirs), name
+    pd.testing.assert_frame_equal(
+        _norm(mine), _norm(theirs), check_dtype=False, check_exact=False, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    assert QUERIES[name](spark, SF).count() >= 0
