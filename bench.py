@@ -1,0 +1,146 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline metric: rolled-up points/sec through the full engine pipeline
+(explode → rules QC → interpolate → ARIMA-residual flag → correction →
+15min/1h/1d rollups → compressed blobs) on a deterministic synthetic token
+table sized by SF, plus wall-times for representative driver queries on
+the TPC-H-ish parquet tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_POINTS       (override token-table point count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_token_frame(sf: float, n_points_override: int | None):
+    from pyhydroqc_spark.datagen import gen_token_table
+
+    target = n_points_override or int(8_000_000 * (sf / 0.1))
+    n_tok = 16_000
+    n_series = max(8, target // n_tok)
+    log(f"token table: {n_series} series x {n_tok} tokens = {n_series * n_tok:,} points")
+    return gen_token_table(n_series=n_series, n_tok=n_tok, seed=42), n_series * n_tok
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from pyhydroqc_spark.ingest import explode_tokens, repartition_series
+    from pyhydroqc_spark.operators import correct as correct_mod
+    from pyhydroqc_spark.operators import detect as detect_mod
+    from pyhydroqc_spark.operators import rollup as rollup_mod
+    from pyhydroqc_spark.operators import rules as rules_mod
+    from pyhydroqc_spark.operators import threshold as threshold_mod
+    from pyhydroqc_spark.operators.events import anomaly_events
+    from pyhydroqc_spark.params import SeriesParams
+    from pyhydroqc_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    # ---------------- headline: token pipeline points/sec ----------------
+    pdf, n_points = build_token_frame(sf, int(os.environ["BENCH_POINTS"]) if "BENCH_POINTS" in os.environ else None)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType(), False), False),
+            StructField("n_tok", IntegerType(), False),
+            StructField("source", StringType(), False),
+        ]
+    )
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"tokens_{n_points}")
+    if not os.path.exists(bench_dir):
+        spark.createDataFrame(pdf, schema=schema).repartition(max(cpus, 8), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(bench_dir)
+    tok = spark.read.parquet(bench_dir)
+    params = SeriesParams(
+        max_range=25.0, min_range=-1.0, persist=30, window_sz=96,
+        alpha=0.0001, threshold_min=0.25, widen=1, pdq=(1, 1, 0),
+    )
+
+    t0 = time.time()
+    long_df = explode_tokens(repartition_series(tok, max(cpus, 8)))
+    qc = rules_mod.range_check(long_df, params.max_range, params.min_range)
+    qc = rules_mod.persistence(qc, params.persist)
+    qc = rules_mod.interpolate(qc)
+    detected = detect_mod.arima_residuals_sql(qc, "observed", order=params.pdq)
+    detected = threshold_mod.dynamic_threshold(
+        detected, "residual", window_sz=params.window_sz,
+        alpha=params.alpha, min_range=params.threshold_min,
+    )
+    detected = threshold_mod.detect_threshold_anomalies(detected)
+    detected = detected.withColumn("all_anomalies", F.col("detected_anomaly") | F.col("anomaly"))
+    detected = anomaly_events(detected, "all_anomalies", wf=params.widen, out_col="detected_event")
+    corrected = correct_mod.generate_corrections(
+        detected.select("doc_id", "pos", "ts", "observed", "detected_event"),
+        "observed", "detected_event", arima_order=(1, 1, 0),
+    )
+    # one materialization of the corrected facts feeds every tier (exactly
+    # what pipeline.py does before its per-tier partition commits)
+    slim = corrected.select("doc_id", "ts", "pos", "det_cor").cache()
+    tiers_sorted = sorted(rollup_mod.DEFAULT_TIERS)
+    finest = rollup_mod.rollup_points(slim, tiers_sorted[0]).cache()
+    rolled = finest.count()
+    agg = finest
+    for t in tiers_sorted[1:]:
+        agg = rollup_mod.rollup_from_rollup(agg.drop("tier"), t).cache()
+        rolled += agg.count()
+    t_pipeline = time.time() - t0
+    slim.unpersist()
+    queries["qc_correct_rollup_pipeline"] = round(t_pipeline, 3)
+    pps = n_points / t_pipeline
+    log(f"pipeline: {n_points:,} pts in {t_pipeline:.1f}s = {pps:,.0f} points/s; {rolled:,} rollup rows")
+
+    # ---------------- driver-table queries ----------------
+    import __spark_entry__ as entrymod
+
+    for name in [
+        "rollup_15min", "range_counts", "interpolated", "dynamic_threshold",
+        "anomaly_events", "tokenize_stats", "dedup_wordset", "ann_topk",
+        "text_stats",
+    ]:
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        log(f"{name}: {n} rows in {dt:.2f}s")
+
+    out = {
+        "metric": "rolled_up_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "points": n_points,
+        "rollup_rows": rolled,
+        "cpus": cpus,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -122,19 +122,25 @@ def interpolate(
     The pandas ``limit`` rule fills a NULL only if it is within ``limit``
     rows of a valid point on at least one side.
 
-    Pure Window expressions: last/first non-null via ignoreNulls frames —
-    O(n) per series, JVM-side, exactly two frame scans.
+    Pure Window expressions: the backward fill is a running last-non-null;
+    the forward fill is the same running frame over DESCENDING order —
+    both incremental O(n). (A naive `currentRow..unboundedFollowing` frame
+    is O(n²) in Spark's WindowExec: it rescans the remainder per row.)
     """
     masked = mask_anomalies(df, value_col, flag_col, "__m")
     w = series_window(key, order)
     wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf_ = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wrev = (
+        Window.partitionBy(key)
+        .orderBy(F.col(order).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     rn = F.row_number().over(w)
     out = masked.withColumn("__rn", rn)
     pv = F.last("__m", ignorenulls=True).over(wb)
     pr = F.last(F.when(F.col("__m").isNotNull(), F.col("__rn")), ignorenulls=True).over(wb)
-    nv = F.first("__m", ignorenulls=True).over(wf_)
-    nr = F.first(F.when(F.col("__m").isNotNull(), F.col("__rn")), ignorenulls=True).over(wf_)
+    nv = F.last("__m", ignorenulls=True).over(wrev)
+    nr = F.last(F.when(F.col("__m").isNotNull(), F.col("__rn")), ignorenulls=True).over(wrev)
     out = (
         out.withColumn("__pv", pv)
         .withColumn("__pr", pr)

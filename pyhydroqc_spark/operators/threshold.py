@@ -60,16 +60,22 @@ def _prefix_sum_moments(resid_col: str, w: int, key: str, order: str):
     """
     ws = series_window(key, order)
     wcum = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     x = F.col(resid_col)
     s1 = F.sum(x).over(wcum)
     s2 = F.sum(x * x).over(wcum)
     c1 = F.sum(F.when(x.isNotNull(), 1).otherwise(0)).over(wcum)
-    hi_s1 = F.coalesce(F.lead(s1, w).over(ws), F.last(s1, True).over(
-        ws.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    hi_s2 = F.coalesce(F.lead(s2, w).over(ws), F.last(s2, True).over(
-        ws.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    hi_c1 = F.coalesce(F.lead(c1, w).over(ws), F.last(c1, True).over(
-        ws.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    # beyond the partition end, the "hi" prefix sums saturate at the totals
+    # (whole-partition frames are O(n); avoid currentRow..unboundedFollowing
+    # frames, which Spark evaluates in O(n²))
+    tot_s1 = F.sum(x).over(wall)
+    tot_s2 = F.sum(x * x).over(wall)
+    tot_c1 = F.sum(F.when(x.isNotNull(), 1).otherwise(0)).over(wall)
+    hi_s1 = F.coalesce(F.lead(s1, w).over(ws), tot_s1)
+    hi_s2 = F.coalesce(F.lead(s2, w).over(ws), tot_s2)
+    hi_c1 = F.coalesce(F.lead(c1, w).over(ws), tot_c1)
     lo_s1 = F.coalesce(F.lag(s1, w + 1).over(ws), F.lit(0.0))
     lo_s2 = F.coalesce(F.lag(s2, w + 1).over(ws), F.lit(0.0))
     lo_c1 = F.coalesce(F.lag(c1, w + 1).over(ws), F.lit(0))

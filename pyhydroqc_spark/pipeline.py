@@ -118,8 +118,11 @@ def _process_partition(
         qc = rules_mod.persistence(qc, p.persist)
         qc = rules_mod.interpolate(qc)
         detected = anomaly_events(qc, "anomaly", wf=p.widen, out_col="detected_event")
+    # slim the correction input: Arrow round-trips only the columns the
+    # kernel needs, not the full QC column set
     corrected = correct_mod.generate_corrections(
-        detected, "observed", "detected_event", arima_order=arima_order
+        detected.select("doc_id", "pos", "ts", "observed", "detected_event"),
+        "observed", "detected_event", arima_order=arima_order,
     )
     slim = corrected.select("doc_id", "ts", "pos", "det_cor").cache()
     try:

@@ -87,3 +87,29 @@ def test_arima_detect_flags_spikes_without_rules(spark):
     assert got["detected_event"].max() == 2
     # false-positive rate stays low
     assert got["detected_anomaly"].sum() <= 10
+
+
+@pytest.mark.parametrize("order", [(1, 1, 0), (2, 0, 0), (3, 1, 0), (1, 2, 0)])
+def test_sql_residuals_match_udf_path(spark, order):
+    rng = np.random.default_rng(17)
+    rows = []
+    for d in ["a", "b", "c"]:
+        x = np.cumsum(rng.normal(0.05, 1.0, 400)) + 10
+        for i, v in enumerate(x):
+            ts = (pd.Timestamp("2022-01-01") + pd.Timedelta(minutes=15 * i)).to_pydatetime()
+            rows.append((d, i, ts, float(v)))
+    df = spark.createDataFrame(rows, "doc_id string, pos int, ts timestamp, observed double")
+    a = (
+        detect.arima_residuals(df, "observed", order=order)
+        .orderBy("doc_id", "pos")
+        .select("residual", "prediction")
+        .toPandas()
+    )
+    b = (
+        detect.arima_residuals_sql(df, "observed", order=order)
+        .orderBy("doc_id", "pos")
+        .select("residual", "prediction")
+        .toPandas()
+    )
+    np.testing.assert_allclose(a["residual"], b["residual"], atol=1e-8)
+    np.testing.assert_allclose(a["prediction"], b["prediction"], atol=1e-8)
