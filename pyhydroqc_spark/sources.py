@@ -1,0 +1,106 @@
+"""Sources & sinks — LRO-shaped CSV ingest, calibration-dates dims, exports.
+
+Re-expression of the reference's data access (`/root/reference/pyhydroqc/
+anomaly_utilities.py:20-73` ``get_data``) on Spark readers, so a user of
+the reference can point the engine at the same site-year CSV files:
+
+* ``load_sensor_csv`` — S1 (CSV scan + datetime parse) + S2 (multi-file
+  union along the time axis) + S3 (per-sensor projection into
+  raw / cor / labeled_anomaly), returning ONE long DataFrame keyed
+  ``doc_id = <site>:<sensor>`` instead of the reference's dict of pandas
+  frames — the dict loop becomes the partitioning axis.
+* ``load_calib_dates`` — S4: the tiny (start, end, gap) dimension
+  (`Examples/FindCompareGaps.py:45-48`), broadcast-join ready.
+* ``write_table`` — S5: parquet/snapshot-table sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+NO_DATA = -9999.0
+
+
+def load_sensor_csv(
+    spark: SparkSession,
+    paths: list[str],
+    sensors: list[str],
+    site: str = "site",
+) -> DataFrame:
+    """Site-year CSVs → long QC-ready frame.
+
+    Output schema: (doc_id, source, sensor, ts, pos, raw, cor,
+    labeled_anomaly). ``cor``/``labeled_anomaly`` are NULL/False when the
+    file carries no ``<sensor>_cor`` / ``<sensor>_qual`` columns —
+    mirroring the reference's conditional projection
+    (`anomaly_utilities.py:66-70`; label = qual non-null at :70).
+    """
+    raw = (
+        spark.read.option("header", True)
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("nullValue", "NULL")
+        .csv(list(paths))
+    )
+    ts_col = raw.columns[0]
+    out = raw.withColumn("ts", F.to_timestamp(F.col(ts_col)))
+    frames = []
+    for snsr in sensors:
+        if snsr not in raw.columns:
+            continue
+        cor = (
+            F.col(f"{snsr}_cor").try_cast("double")
+            if f"{snsr}_cor" in raw.columns
+            else F.lit(None).cast("double")
+        )
+        lab = (
+            F.col(f"{snsr}_qual").isNotNull()
+            if f"{snsr}_qual" in raw.columns
+            else F.lit(False)
+        )
+        frames.append(
+            out.select(
+                F.lit(f"{site}:{snsr}").alias("doc_id"),
+                F.lit(site).alias("source"),
+                F.lit(snsr).alias("sensor"),
+                "ts",
+                F.col(snsr).try_cast("double").alias("raw"),
+                cor.alias("cor"),
+                lab.alias("labeled_anomaly"),
+            )
+        )
+    if not frames:
+        raise ValueError(f"none of {sensors} present in {paths}")
+    from functools import reduce
+
+    united = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("doc_id").orderBy("ts")
+    return united.withColumn("pos", F.row_number().over(w) - 1)
+
+
+def load_calib_dates(spark: SparkSession, path: str, skip_title_row: bool = True) -> DataFrame:
+    """(start, end, gap) calibration-event dimension. The reference files
+    carry a title line before the header (`MainStreet_ph_calib_dates.csv`)."""
+    df = spark.read.option("header", True).csv(path)
+    cols = [c.lower() for c in df.columns]
+    if "start" not in cols and skip_title_row:
+        # first line was a title: re-read skipping it
+        first = spark.read.text(path).limit(2).collect()
+        import io
+
+        df = (
+            spark.read.option("header", True)
+            .option("skipRows", 1)
+            .csv(path)
+        )
+    return df.select(
+        F.to_timestamp("start").alias("start"),
+        F.to_timestamp("end").alias("end"),
+        F.col("gap").cast("double").alias("gap"),
+    )
+
+
+def write_table(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
