@@ -80,47 +80,69 @@ def main():
         alpha=0.0001, threshold_min=0.25, widen=1, pdq=(1, 1, 0),
     )
 
+    mode = os.environ.get("BENCH_MODE", "fused")
+
+    def run_once(tok_df):
+        # 4 partitions per core: stragglers (series with many correction
+        # events) smooth out instead of stalling every stage barrier
+        long_df = explode_tokens(repartition_series(tok_df, 4 * max(cpus, 8)))
+        if mode == "fused":
+            from pyhydroqc_spark.operators.fused import fused_qc_correct
+
+            cor = fused_qc_correct(long_df, params, arima_order=(1, 1, 0))
+        else:
+            qc = rules_mod.range_check(long_df, params.max_range, params.min_range)
+            qc = rules_mod.persistence(qc, params.persist)
+            qc = rules_mod.interpolate(qc)
+            det = detect_mod.arima_residuals_sql(qc, "observed", order=params.pdq)
+            det = threshold_mod.dynamic_threshold(
+                det, "residual", window_sz=params.window_sz,
+                alpha=params.alpha, min_range=params.threshold_min,
+                strategy="prefix_sum",
+            )
+            det = threshold_mod.detect_threshold_anomalies(det)
+            det = det.withColumn("all_anomalies", F.col("detected_anomaly") | F.col("anomaly"))
+            det = anomaly_events(det, "all_anomalies", wf=params.widen, out_col="detected_event")
+            cor = correct_mod.generate_corrections(
+                det.select("doc_id", "pos", "ts", "observed", "detected_event"),
+                "observed", "detected_event", arima_order=(1, 1, 0),
+            )
+        slim_ = cor.select("doc_id", "ts", "pos", "det_cor").cache()
+        tiers_ = sorted(rollup_mod.DEFAULT_TIERS)
+        fin = rollup_mod.rollup_points(slim_, tiers_[0]).cache()
+        total = fin.count()
+        agg_ = fin
+        caches = [slim_, fin]
+        for t in tiers_[1:]:
+            agg_ = rollup_mod.rollup_from_rollup(agg_.drop("tier"), t).cache()
+            total += agg_.count()
+            caches.append(agg_)
+        for c in caches:
+            c.unpersist()
+        return total
+
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        # trigger codegen + python-worker startup outside the timed section
+        warm = tok.limit(4)
+        run_once(warm)
+        log("warmup done")
+
     t0 = time.time()
-    long_df = explode_tokens(repartition_series(tok, max(cpus, 8)))
-    qc = rules_mod.range_check(long_df, params.max_range, params.min_range)
-    qc = rules_mod.persistence(qc, params.persist)
-    qc = rules_mod.interpolate(qc)
-    detected = detect_mod.arima_residuals_sql(qc, "observed", order=params.pdq)
-    detected = threshold_mod.dynamic_threshold(
-        detected, "residual", window_sz=params.window_sz,
-        alpha=params.alpha, min_range=params.threshold_min,
-    )
-    detected = threshold_mod.detect_threshold_anomalies(detected)
-    detected = detected.withColumn("all_anomalies", F.col("detected_anomaly") | F.col("anomaly"))
-    detected = anomaly_events(detected, "all_anomalies", wf=params.widen, out_col="detected_event")
-    corrected = correct_mod.generate_corrections(
-        detected.select("doc_id", "pos", "ts", "observed", "detected_event"),
-        "observed", "detected_event", arima_order=(1, 1, 0),
-    )
-    # one materialization of the corrected facts feeds every tier (exactly
-    # what pipeline.py does before its per-tier partition commits)
-    slim = corrected.select("doc_id", "ts", "pos", "det_cor").cache()
-    tiers_sorted = sorted(rollup_mod.DEFAULT_TIERS)
-    finest = rollup_mod.rollup_points(slim, tiers_sorted[0]).cache()
-    rolled = finest.count()
-    agg = finest
-    for t in tiers_sorted[1:]:
-        agg = rollup_mod.rollup_from_rollup(agg.drop("tier"), t).cache()
-        rolled += agg.count()
+    rolled = run_once(tok)
     t_pipeline = time.time() - t0
-    slim.unpersist()
     queries["qc_correct_rollup_pipeline"] = round(t_pipeline, 3)
     pps = n_points / t_pipeline
     log(f"pipeline: {n_points:,} pts in {t_pipeline:.1f}s = {pps:,.0f} points/s; {rolled:,} rollup rows")
 
     # ---------------- driver-table queries ----------------
-    import __spark_entry__ as entrymod
-
-    for name in [
+    query_names = [] if os.environ.get("BENCH_PIPELINE_ONLY") else [
         "rollup_15min", "range_counts", "interpolated", "dynamic_threshold",
         "anomaly_events", "tokenize_stats", "dedup_wordset", "ann_topk",
         "text_stats",
-    ]:
+    ]
+    import __spark_entry__ as entrymod
+
+    for name in query_names:
         fn = entrymod.queries()[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()

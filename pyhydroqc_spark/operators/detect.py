@@ -185,7 +185,9 @@ def arima_residuals_sql(
 
     coefs = moments.mapInPandas(solve, schema=coef_schema)
 
-    joined = tmp.join(coefs, on=key)
+    # one tiny row per series — always broadcast; never let the planner
+    # shuffle the fact side for this join
+    joined = tmp.join(F.broadcast(coefs), on=key)
     yhat = F.element_at("__coef", 1)
     for j in range(1, p + 1):
         yhat = yhat + F.element_at("__coef", j + 1) * F.coalesce(
@@ -214,6 +216,7 @@ def arima_detect(
     value_col: str = "value",
     key: str = SERIES_KEY,
     order_col: str = ORDER_COL,
+    threshold_strategy: str = "exact",
 ) -> DataFrame:
     """Full detection workflow (`model_workflow.py:19-60`):
 
@@ -252,6 +255,7 @@ def arima_detect(
         min_range=p.threshold_min,
         key=key,
         order=order_col,
+        strategy=threshold_strategy,
     )
     out = detect_threshold_anomalies(out)
     out = out.withColumn(

@@ -1,0 +1,196 @@
+"""Fused per-series kernel — QC → detect → correct in ONE grouped-map pass.
+
+Alternative physical strategy to the JVM-native operator chain: the long
+pipeline (≈15 window ops + 2 Python crossings + a broadcast join) becomes a
+single shuffle on doc_id and a single Arrow crossing, with all per-series
+math in numpy/pandas. Semantics are identical — each step mirrors the
+reference function the JVM operators also mirror (tests drive both against
+the genuine reference):
+
+* range check       ↔ rules_detect.range_check      (:11-27)
+* persistence       ↔ rules_detect.persistence      (:30-52)
+* interpolation     ↔ rules_detect.interpolate      (:75-87)
+* ARIMA residuals   ↔ modeling_utilities.build_arima_model (engine ARIMA)
+* dynamic threshold ↔ anomaly_utilities.set_dynamic_threshold (:381-423)
+* detect + events   ↔ anomaly_utilities.detect_anomalies/anomaly_events
+* correction        ↔ arima_correct.generate_corrections (correct.py kernel)
+
+When to choose which: the fused kernel wins when series are long and the
+cluster is Python-worker-rich (fewer barriers, no repeated sorts); the
+native chain wins when only part of the pipeline is needed, when q=0 lets
+the AR fit stay JVM-side, or when Python workers are the scarce resource.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from ..params import DEFAULT_PARAMS, SeriesParams
+from ..stats import z_for_alpha
+from .arima import fit_arima
+from .correct import correct_series
+from .events import SERIES_KEY, ORDER_COL
+
+
+def range_flags_np(x: np.ndarray, max_range: float, min_range: float) -> np.ndarray:
+    with np.errstate(invalid="ignore"):
+        return (x > max_range) | (x < min_range)
+
+
+def run_ids_np(flags: np.ndarray) -> np.ndarray:
+    """Enumerate maximal True-runs 1..K, 0 elsewhere."""
+    f = np.asarray(flags, dtype=bool)
+    started = f & ~np.r_[False, f[:-1]]
+    ids = np.cumsum(started)
+    return np.where(f, ids, 0)
+
+
+def persistence_np(x: np.ndarray, anomaly: np.ndarray, length: int):
+    """rules_detect.persistence semantics: repeat flag is diff==0 (first
+    element of an equal run excluded); runs with len ≥ length flagged."""
+    rep = np.r_[False, x[1:] == x[:-1]]
+    grp = run_ids_np(rep)
+    out = anomaly.copy()
+    if grp.max() > 0:
+        sizes = np.bincount(grp)
+        long_runs = np.flatnonzero(sizes >= length)
+        long_runs = long_runs[long_runs > 0]
+        out |= np.isin(grp, long_runs)
+    return out, grp
+
+
+def interpolate_np(x: np.ndarray, anomaly: np.ndarray, limit: int = 10000) -> np.ndarray:
+    masked = np.where(anomaly, np.nan, x)
+    s = pd.Series(masked)
+    return s.interpolate(method="linear", limit=limit, limit_direction="both").to_numpy()
+
+
+def dynamic_threshold_np(resid: np.ndarray, window_sz: int, alpha: float, min_range: float):
+    """Clamped centered window mean ± max(z·std, min_range), O(n) prefix sums.
+
+    Matches set_dynamic_threshold's slicing [max(0,i−w) : min(i+w,n−1)]
+    inclusive (`anomaly_utilities.py:402-413`), pandas ddof=1 std.
+    """
+    n = len(resid)
+    z = z_for_alpha(alpha)
+    r = np.nan_to_num(resid, nan=0.0)
+    valid = (~np.isnan(resid)).astype(np.int64)
+    c1 = np.r_[0, np.cumsum(valid)]
+    s1 = np.r_[0.0, np.cumsum(r)]
+    s2 = np.r_[0.0, np.cumsum(r * r)]
+    i = np.arange(n)
+    lo = np.maximum(0, i - window_sz)
+    hi = np.minimum(n - 1, i + window_sz)
+    cnt = c1[hi + 1] - c1[lo]
+    sx = s1[hi + 1] - s1[lo]
+    sxx = s2[hi + 1] - s2[lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = sx / cnt
+        var = (sxx - sx * sx / cnt) / (cnt - 1)
+        sigma = np.sqrt(np.maximum(var, 0.0))
+    rng = np.maximum(z * sigma, min_range)
+    return mean - rng, mean + rng
+
+
+def widen_events_np(flags: np.ndarray, wf: int) -> np.ndarray:
+    """anomaly_events: widen ±wf (first/last wf rows forced 0), enumerate."""
+    f = np.asarray(flags, dtype=bool)
+    n = len(f)
+    if wf == 0:
+        return run_ids_np(f)
+    c = np.r_[0, np.cumsum(f.astype(np.int64))]
+    i = np.arange(n)
+    lo = np.maximum(0, i - wf)
+    hi = np.minimum(n - 1, i + wf)
+    near = (c[hi + 1] - c[lo]) > 0
+    interior = (i >= wf) & (i < n - wf)
+    return run_ids_np(near & interior)
+
+
+FUSED_SCHEMA_FIELDS = [
+    StructField("anomaly", BooleanType(), True),
+    StructField("observed", DoubleType(), True),
+    StructField("residual", DoubleType(), True),
+    StructField("detected_anomaly", BooleanType(), True),
+    StructField("detected_event", IntegerType(), True),
+    StructField("det_cor", DoubleType(), True),
+    StructField("corrected", BooleanType(), True),
+]
+
+
+def fused_series_kernel(
+    x: np.ndarray,
+    ts: pd.DatetimeIndex,
+    p: SeriesParams,
+    arima_order=(1, 1, 0),
+):
+    """Whole per-series pipeline in numpy. Returns dict of output arrays."""
+    anom = range_flags_np(x, p.max_range, p.min_range)
+    anom, _ = persistence_np(x, anom, p.persist)
+    observed = interpolate_np(x, anom)
+    valid = ~np.isnan(observed)
+    resid = np.full(len(x), np.nan)
+    if valid.all() and len(x) > max(p.pdq[0], p.pdq[2]) + p.pdq[1] + 2:
+        resid, _, _ = fit_arima(observed, *p.pdq)
+    elif valid.any():
+        xi = np.where(
+            valid, observed,
+            np.interp(np.arange(len(x)), np.flatnonzero(valid), observed[valid]),
+        )
+        r, _, _ = fit_arima(xi, *p.pdq)
+        resid = np.where(valid, r, np.nan)
+    low, high = dynamic_threshold_np(resid, p.window_sz, p.alpha, p.threshold_min)
+    with np.errstate(invalid="ignore"):
+        detected = (resid < low) | (resid > high)
+    detected = np.where(np.isnan(resid), False, detected)
+    all_anom = detected | anom
+    events = widen_events_np(all_anom, p.widen)
+    det_cor, corrected = correct_series(observed, events, ts, order=arima_order)
+    return {
+        "anomaly": anom,
+        "observed": observed,
+        "residual": resid,
+        "detected_anomaly": detected,
+        "detected_event": events.astype(np.int32),
+        "det_cor": det_cor,
+        "corrected": corrected,
+    }
+
+
+def fused_qc_correct(
+    df: DataFrame,
+    params: SeriesParams | None = None,
+    arima_order=(1, 1, 0),
+    value_col: str = "value",
+    key: str = SERIES_KEY,
+    order_col: str = ORDER_COL,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One grouped-map pass per series over (doc_id, pos, ts, value)."""
+    p = params or DEFAULT_PARAMS
+    in_fields = [df.schema[c] for c in (key, order_col, ts_col, value_col)]
+    schema = StructType(list(in_fields) + FUSED_SCHEMA_FIELDS)
+    slim = df.select(key, order_col, ts_col, value_col)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        out = fused_series_kernel(
+            pdf[value_col].to_numpy(dtype=float),
+            pd.DatetimeIndex(pdf[ts_col]),
+            p,
+            arima_order,
+        )
+        for k, v in out.items():
+            pdf[k] = v
+        return pdf
+
+    return slim.groupBy(key).applyInPandas(run, schema=schema)

@@ -103,6 +103,24 @@ def detect_threshold_anomalies(
     )
 
 
+def constant_threshold(
+    df: DataFrame,
+    resid_col: str = "residual",
+    alpha: float = 0.0001,
+    key: str = SERIES_KEY,
+) -> DataFrame:
+    """Per-series constant threshold from the residual distribution —
+    the engine analog of `anomaly_utilities.set_cons_threshold`
+    (`anomaly_utilities.py:426-445`, which derives it from the SARIMAX
+    confidence interval; with the engine's own ARIMA the equivalent scalar
+    is z·σ̂ of the in-sample residuals). Returns (key, low, high)."""
+    z = z_for_alpha(alpha)
+    return df.groupBy(key).agg(
+        (-z * F.stddev_samp(resid_col)).alias("low"),
+        (z * F.stddev_samp(resid_col)).alias("high"),
+    )
+
+
 def constant_threshold_anomalies(
     df: DataFrame,
     resid_col: str,

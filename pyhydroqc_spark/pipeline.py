@@ -52,6 +52,7 @@ def run_pipeline(
     with_compression: bool = True,
     n_partitions: int | None = None,
     fail_after: int | None = None,
+    mode: str = "native",
 ) -> PipelineResult:
     """Process all pending input partitions; idempotent and resumable.
 
@@ -89,7 +90,7 @@ def run_pipeline(
         tok = spark.read.parquet(*part_files).withColumn("source", F.lit(part))
         n_points = _process_partition(
             spark, tok, part, p, tiers, tier_tables, comp_table,
-            arima_order, with_model_detect, n_partitions,
+            arima_order, with_model_detect, n_partitions, mode,
         )
         ckpt.write(
             run_id, stage, part, in_snap, n_points,
@@ -105,9 +106,16 @@ def run_pipeline(
 
 def _process_partition(
     spark, tok, part, p, tiers, tier_tables, comp_table,
-    arima_order, with_model_detect, n_partitions,
+    arima_order, with_model_detect, n_partitions, mode="native",
 ) -> int:
     long_df = explode_tokens(repartition_series(tok, n_partitions))
+    if mode == "fused":
+        # single-pass per-series kernel (operators/fused.py): one shuffle,
+        # one Arrow crossing — same outputs as the native chain (tested)
+        from .operators.fused import fused_qc_correct
+
+        corrected = fused_qc_correct(long_df, p, arima_order=arima_order)
+        return _commit_rollups(corrected, part, tiers, tier_tables, comp_table)
     if with_model_detect:
         detected = detect_mod.arima_detect(long_df, p, rules=True)
     else:
@@ -124,7 +132,12 @@ def _process_partition(
         detected.select("doc_id", "pos", "ts", "observed", "detected_event"),
         "observed", "detected_event", arima_order=arima_order,
     )
+    return _commit_rollups(corrected, part, tiers, tier_tables, comp_table)
+
+
+def _commit_rollups(corrected, part, tiers, tier_tables, comp_table) -> int:
     slim = corrected.select("doc_id", "ts", "pos", "det_cor").cache()
+    finest = None
     try:
         tiers_sorted = sorted(tiers)
         finest = rollup_points(slim, tiers_sorted[0]).cache()
@@ -143,10 +156,8 @@ def _process_partition(
         return total
     finally:
         slim.unpersist()
-        try:
+        if finest is not None:
             finest.unpersist()
-        except Exception:
-            pass
 
 
 def retention_sweep(out_root: str, tiers=DEFAULT_TIERS, keep_pred=None) -> None:

@@ -45,7 +45,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode runs all executor threads in the driver JVM — size the
         # heap for the thread count, not for a driver-only role
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -132,3 +132,21 @@ def test_retention_sweep(spark, tmp_path):
     P.retention_sweep(out, keep_pred=lambda p: p != "src0")
     fin = _read_tier(spark, out, 900)
     assert not any(d.startswith("src0") for d in fin["doc_id"])
+
+
+def test_fused_mode_equals_native(spark, tmp_path):
+    """pipeline(mode='fused') produces identical tier tables to native."""
+    outs = {}
+    for i, mode in enumerate(["native", "fused"]):
+        tmp = str(tmp_path / mode)
+        tbl, _ = _input_table(spark, tmp, n_series=4, n_tok=800, seed=5)
+        out = os.path.join(tmp, "out")
+        P.run_pipeline(spark, tbl, out, PARAMS, arima_order=(1, 1, 0),
+                       with_model_detect=True, mode=mode)
+        outs[mode] = {t: _read_tier(spark, out, t) for t in (900, 3600, 86400)}
+    for t in (900, 3600, 86400):
+        pd.testing.assert_frame_equal(
+            outs["native"][t].reset_index(drop=True),
+            outs["fused"][t].reset_index(drop=True),
+            check_exact=False, atol=1e-9,
+        )
