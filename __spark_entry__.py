@@ -44,11 +44,15 @@ def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file parquet = one input split; spread rows across cores before
+    # the heavy per-row hash/HOF expressions (narrow data, cheap shuffle)
+    n = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(n)
 
 
 # --------------------------------------------------------------------------
@@ -342,38 +346,64 @@ def q_lang_stats(spark, sf_dir):
     )
 
 
-# rows-only checks (hash-function- or plan-specific; no portable SQL oracle)
+# portable-hash variants (md5-keyed so DuckDB replays the same bits)
 
 def q_minhash_candidates(spark, sf_dir):
     from pyhydroqc_spark.textops import dedup
 
-    sig = dedup.minhash_signatures(_docs(spark, sf_dir), num_perm=32)
-    return dedup.minhash_candidates(sig, bands=8)
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir), num_perm=32, hash_fn="md5")
+    out = dedup.minhash_candidates(sig, bands=8, hash_fn="md5")
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
 
 
 def q_simhash(spark, sf_dir):
     from pyhydroqc_spark.textops import dedup
 
-    return dedup.simhash(_docs(spark, sf_dir))
+    out = dedup.simhash(_docs(spark, sf_dir), bits=60, hash_fn="md5")
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
 
 
 def q_lsh_topk(spark, sf_dir):
     from pyhydroqc_spark.textops import ann
 
     emb = _emb(spark, sf_dir)
-    return ann.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8)
+    out = ann.lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        n_planes=4,
+        n_tables=8,
+        dim=64,
+        plane_source="md5",
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_lang_id(spark, sf_dir):
     from pyhydroqc_spark.textops import quality
 
-    return quality.lang_id(_docs(spark, sf_dir))
+    out = quality.lang_id(_docs(spark, sf_dir))
+    return out.select(F.col("id").cast("long").alias("id"), "lang_pred")
 
 
 def q_fingerprint(spark, sf_dir):
     from pyhydroqc_spark.textops import quality
 
-    return quality.fingerprint(_docs(spark, sf_dir))
+    out = quality.fingerprint(_docs(spark, sf_dir), hash_fn="md5")
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -420,7 +450,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["range_counts"] = BASE_SQL + f"""
 SELECT doc_id, COUNT(*) AS n_points,
-       SUM(CASE WHEN value > {MAXR} OR value < {MINR} THEN 1 ELSE 0 END) AS n_anomalies
+       CAST(SUM(CASE WHEN value > {MAXR} OR value < {MINR} THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM base GROUP BY doc_id
 """
 
@@ -465,8 +495,8 @@ rep AS (
   FROM runs
 )
 SELECT doc_id,
-       SUM(CASE WHEN r THEN 1 ELSE 0 END) AS persist_points,
-       SUM(CASE WHEN r AND rl >= 3 THEN 1 ELSE 0 END) AS flagged_points
+       CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS persist_points,
+       CAST(SUM(CASE WHEN r AND rl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_points
 FROM lens GROUP BY doc_id
 """
 
@@ -514,8 +544,8 @@ FROM t
   FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
 )
 SELECT doc_id,
-       SUM(CASE WHEN value < mu - GREATEST(1.0, {Z_05!r} * sd)
-                 OR value > mu + GREATEST(1.0, {Z_05!r} * sd) THEN 1 ELSE 0 END) AS n_detected
+       CAST(SUM(CASE WHEN value < mu - GREATEST(1.0, {Z_05!r} * sd)
+                 OR value > mu + GREATEST(1.0, {Z_05!r} * sd) THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
 FROM t GROUP BY doc_id
 """
 
@@ -590,8 +620,8 @@ FROM st
 
     sql["business_hours"] = BASE_SQL + """
 SELECT doc_id,
-       SUM(CASE WHEN dayofweek(ts) BETWEEN 1 AND 5 AND hour(ts) BETWEEN 7 AND 17
-                THEN 1 ELSE 0 END) AS business_rows
+       CAST(SUM(CASE WHEN dayofweek(ts) BETWEEN 1 AND 5 AND hour(ts) BETWEEN 7 AND 17
+                THEN 1 ELSE 0 END) AS BIGINT) AS business_rows
 FROM base GROUP BY doc_id
 """
 
@@ -615,7 +645,7 @@ FROM r
 , q AS (
   SELECT doc_id, CAST(round_even(value / 500.0 * 65535, 0) AS BIGINT) AS tok FROM base
 )
-SELECT doc_id, COUNT(*) AS n_tok, SUM(tok) AS tok_sum,
+SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(tok) AS BIGINT) AS tok_sum,
        MIN(tok) AS tok_min, MAX(tok) AS tok_max
 FROM q GROUP BY doc_id
 """
@@ -626,7 +656,7 @@ FROM q GROUP BY doc_id
                         (3, 250.0, 5.0), (4, 200.0, 5.0)) AS t(bucket, mx, mn)
 )
 SELECT CAST(dim.bucket AS BIGINT) AS bucket,
-       SUM(CASE WHEN b.value > dim.mx OR b.value < dim.mn THEN 1 ELSE 0 END) AS n_anomalies
+       CAST(SUM(CASE WHEN b.value > dim.mx OR b.value < dim.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM base b JOIN dim ON CAST(b.doc_id AS BIGINT) % 5 = dim.bucket
 GROUP BY dim.bucket
 """
@@ -643,11 +673,18 @@ GROUP BY md5(array_to_string(list_sort(list_distinct(
   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))), ' '))
 """
 
+    # mirrors the engine's default skew guard: tokens in > 50% of docs are
+    # dropped before pairing (part of the operator contract)
     sql["jaccard_pairs"] = r"""
-WITH w AS (
+WITH w0 AS (
   SELECT doc_id, unnest(list_distinct(
     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS wd
   FROM documents
+), hot AS (
+  SELECT wd FROM w0 GROUP BY wd
+  HAVING COUNT(DISTINCT doc_id) > 0.5 * (SELECT COUNT(*) FROM documents)
+), w AS (
+  SELECT * FROM w0 WHERE wd NOT IN (SELECT wd FROM hot)
 ), sz AS (
   SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
 ), c AS (
@@ -713,6 +750,124 @@ FROM documents
     sql["lang_stats"] = """
 SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang
+"""
+
+    # ---- portable-hash oracles (md5_60(x) = CAST('0x'||substr(md5(x),1,15) AS BIGINT),
+    # identical to Spark conv(substring(md5(x),1,15),16,10)) ----
+
+    sql["fingerprint"] = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS c FROM documents
+)
+SELECT doc_id AS id,
+       list_min(list_transform(
+         range(1, greatest(1, length(c) - 7) + 1),
+         i -> CAST(('0x' || substr(md5(substr(c, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+       )) AS fingerprint
+FROM d
+"""
+
+    sql["simhash"] = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS wd
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) AS hv FROM w
+), b AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+  GROUP BY doc_id, j
+), s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id AS id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+    sql["minhash_candidates"] = r"""
+WITH d AS (SELECT doc_id, lower(text) AS c FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, length(c) - 4) + 1),
+                        i -> substr(c, CAST(i AS INT), 5)) AS gs
+  FROM d
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 32), s ->
+      list_min(list_transform(gs,
+        g -> CAST(('0x' || substr(md5(g || '|' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)))
+  ) AS sg
+  FROM sh
+), banded AS (
+  SELECT doc_id, b,
+         CAST(('0x' || substr(md5(array_to_string(
+           list_transform(array_slice(sg, CAST(b * 4 + 1 AS INT), CAST(b * 4 + 4 AS INT)),
+                          v -> CAST(v AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+FROM banded a
+JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+"""
+
+    sql["lang_id"] = r"""
+WITH w AS (
+  SELECT doc_id, list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(['de','en','es','fr','zh']) AS lang,
+         unnest([
+           len(list_intersect(ws, ['der','die','und','das','von','mit','den','ist'])),
+           len(list_intersect(ws, ['the','and','of','to','in','is','that','for'])),
+           len(list_intersect(ws, ['el','la','de','que','y','en','los','por'])),
+           len(list_intersect(ws, ['le','la','de','et','les','des','un','pour'])),
+           len(list_intersect(ws, ['的','是','了','在','和','有','我','他']))
+         ]) AS hits
+  FROM w
+)
+SELECT doc_id AS id, lang AS lang_pred FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+    sql["lsh_topk"] = """
+WITH planes AS (
+  SELECT t, p, list_transform(range(0, 64), d ->
+    CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS pv
+  FROM (SELECT unnest(range(0, 8)) AS t) ts CROSS JOIN (SELECT unnest(range(0, 4)) AS p) ps
+), emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN list_dot_product(e, pv) >= 0 THEN (1 << CAST(p AS INT)) ELSE 0 END) AS bucket
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id, t
+), qb AS (
+  SELECT vec_id AS query_id, t, bucket FROM bucketed WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+  FROM qb JOIN bucketed b ON b.t = qb.t AND b.bucket = qb.bucket AND b.vec_id != qb.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(eq.e, en.e) AS cos
+  FROM cand c
+  JOIN emb eq ON eq.vec_id = c.query_id
+  JOIN emb en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
     return sql

@@ -77,26 +77,30 @@ def load_sensor_csv(
     return united.withColumn("pos", F.row_number().over(w) - 1)
 
 
-def load_calib_dates(spark: SparkSession, path: str, skip_title_row: bool = True) -> DataFrame:
-    """(start, end, gap) calibration-event dimension. The reference files
-    carry a title line before the header (`MainStreet_ph_calib_dates.csv`)."""
-    df = spark.read.option("header", True).csv(path)
-    cols = [c.lower() for c in df.columns]
-    if "start" not in cols and skip_title_row:
-        # first line was a title: re-read skipping it
-        first = spark.read.text(path).limit(2).collect()
-        import io
+def load_calib_dates(spark: SparkSession, path: str) -> DataFrame:
+    """(start, end, gap) calibration-event dimension.
 
-        df = (
-            spark.read.option("header", True)
-            .option("skipRows", 1)
-            .csv(path)
-        )
-    return df.select(
-        F.to_timestamp("start").alias("start"),
-        F.to_timestamp("end").alias("end"),
-        F.col("gap").cast("double").alias("gap"),
+    The real reference fixtures (`LRO_data/MainStreet_{ph,do,cond}_calib_dates.csv`)
+    carry a UTF-8 BOM, a title line (``pH,,``) BEFORE the ``start,end,gap``
+    header, and CRLF line endings — the reference reads them with
+    ``pd.read_csv(header=1)`` (`Examples/FindCompareGaps.py:45-48`). Parsing
+    via ``text`` + ``from_csv`` and keeping only rows whose first two fields
+    parse as timestamps is robust to any number of leading title lines.
+    """
+    schema = "`start` STRING, `end` STRING, `gap` STRING"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("value"), "^\\ufeff", ""), "\r+$", ""
     )
+    parsed = (
+        spark.read.text(path)
+        .select(F.from_csv(clean, schema).alias("r"))
+        .select(
+            F.try_to_timestamp("r.start").alias("start"),
+            F.try_to_timestamp("r.end").alias("end"),
+            F.col("r.gap").try_cast("double").alias("gap"),
+        )
+    )
+    return parsed.where(F.col("start").isNotNull() & F.col("end").isNotNull())
 
 
 def write_table(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:

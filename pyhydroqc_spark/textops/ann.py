@@ -76,6 +76,25 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float
     return rng.normal(0, 1, (n_planes, dim)).tolist()
 
 
+def md5_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Hash-derived hyperplanes, uniform in [-1, 1): component (p, d) of
+    table t is md5_60(f"{t}|{p}|{d}") / 2^59 - 1. Replayable in any SQL
+    engine with md5 (DuckDB: ``CAST('0x'||substr(md5(k),1,15) AS BIGINT)``),
+    which makes the whole LSH pipeline oracle-checkable. Uniform (not
+    Gaussian) components are fine for sign-projection LSH."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:15], 16)
+            / 2.0**59
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def bucket_ids(vec_col, planes: list[list[float]]):
     """Sign-bit bucket key: bit j = sign(v·h_j). Pure column expression."""
     bits = [
@@ -97,15 +116,25 @@ def lsh_topk(
     n_planes: int = 10,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
+    plane_source: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing a bucket with the
     query in ANY of ``n_tables`` hash tables, reranked exactly.
 
     Recall grows with n_tables; the join is (bucket, table)-keyed instead
     of a cross join — the piece that survives 10^9 rows.
+
+    Pass ``dim`` explicitly to avoid a metadata job (falls back to a
+    ``.first()`` probe). ``plane_source="md5"`` uses hash-derived planes
+    (``md5_planes``) so an external SQL oracle can replay the bucketing.
     """
-    dim = len(df.select(vec_col).first()[0])
-    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if plane_source == "md5":
+        tables = [md5_planes(dim, n_planes, t) for t in range(n_tables)]
+    else:
+        tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     def with_buckets(d, idc):
         out = d.select(

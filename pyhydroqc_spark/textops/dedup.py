@@ -28,6 +28,24 @@ def _words(text_col: str, lowercase: bool = True):
     return F.array_remove(F.split(c, r"\s+"), "")
 
 
+def md5_60(col):
+    """Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+
+    Identical in Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+    (``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``) — used by the oracle
+    path so DuckDB can replay minhash/simhash/fingerprint bit-for-bit.
+    xxhash64 stays the default (one JVM intrinsic vs md5+hex-parse)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, hash_fn: str = "xxhash64"):
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return md5_60(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per duplicate group: (keep_id, dup_cnt) where keep_id is the
     smallest id with that exact content."""
@@ -55,11 +73,18 @@ def jaccard_pairs(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_doc_freq: float | None = None,
+    max_doc_freq: float | None = 0.5,
 ) -> DataFrame:
     """All pairs (a < b) with word-set Jaccard ≥ threshold.
 
     J(A,B) = |A∩B| / (|A|+|B|−|A∩B|), sets of distinct lowercase words.
+
+    ``max_doc_freq`` (default 0.5) is the skew guard: a token present in
+    more than that fraction of documents joins every doc sharing it against
+    every other — an all-pairs blow-up on hot tokens ("the"). Dropping such
+    tokens changes which pairs clear ``threshold``, so the guard is part of
+    the operator's contract (mirror it in any oracle); pass ``None`` to
+    disable. Dropped-token count is reported via print (no silent caps).
     """
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_words(text_col))).alias("w"))
@@ -70,7 +95,11 @@ def jaccard_pairs(
             toks.groupBy("w").agg(F.countDistinct("id").alias("df"))
             .where(F.col("df") > max_doc_freq * n_docs)
             .select("w")
+            .persist()
         )
+        n_hot = hot.count()
+        if n_hot:
+            print(f"jaccard_pairs: dropping {n_hot} hot tokens (doc_freq > {max_doc_freq})")
         toks = toks.join(F.broadcast(hot), "w", "left_anti")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")
@@ -99,11 +128,14 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>): min over shingle hashes per permutation.
 
-    Permutation i is xxhash64(shingle, seed=i) — all inside higher-order
-    functions, no Python. Shingles are character k-grams.
+    Permutation i hashes (shingle, seed=i) — all inside higher-order
+    functions, no Python. Shingles are character k-grams. ``hash_fn="md5"``
+    switches to the portable 60-bit md5 hash (seed appended as
+    ``shingle|i``) so an external SQL engine can replay the signatures.
     """
     c = F.lower(F.col(text_col))
     n = F.length(c)
@@ -111,41 +143,58 @@ def minhash_signatures(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - (shingle_k - 1))),
         lambda i: c.substr(i, F.lit(shingle_k)),
     )
+    if hash_fn == "md5":
+        def perm_hash(g, s):
+            return md5_60(F.concat(g, F.lit("|"), s.cast("string")))
+    else:
+        def perm_hash(g, s):
+            return F.xxhash64(g, s)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, s))),
+        lambda s: F.array_min(F.transform(sh, lambda g: perm_hash(g, s))),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
-def minhash_candidates(
-    sig_df: DataFrame, bands: int = 8
+def banded_buckets(
+    sig_df: DataFrame, bands: int = 8, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs."""
-    num_perm = None  # derived per-row from signature length
+    """(id, band, bucket): hash each signature band to its LSH bucket.
+
+    Band b covers signature positions [floor(b·n/bands), floor((b+1)·n/bands))
+    — every position lands in exactly one band for ANY (n, bands), including
+    non-divisible combinations (equal slices when divisible)."""
     sig_df = sig_df.withColumn("__n", F.size("signature"))
-    r = F.col("__n") / bands
-    banded = sig_df.select(
+    n = F.col("__n")
+    return sig_df.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.xxhash64(
+                lambda bidx: _hash64(
                     F.array_join(
                         F.transform(
                             F.slice(
                                 F.col("signature"),
-                                (bidx * (F.col("__n") / bands) + 1).cast("int"),
-                                (F.col("__n") / bands).cast("int"),
+                                (F.floor(bidx * n / bands) + 1).cast("int"),
+                                (F.floor((bidx + 1) * n / bands) - F.floor(bidx * n / bands)).cast("int"),
                             ),
                             lambda v: v.cast("string"),
                         ),
                         ",",
-                    )
+                    ),
+                    hash_fn,
                 ),
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_candidates(
+    sig_df: DataFrame, bands: int = 8, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    banded = banded_buckets(sig_df, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -161,22 +210,33 @@ def minhash_candidates(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over distinct words: bit j of the signature is the sign
-    of Σ_w (±1 depending on bit j of xxhash64(w))."""
+    """SimHash over distinct words: bit j of the signature is the sign of
+    Σ_w (±1 depending on bit j of hash(w)). ``hash_fn="md5"`` gives the
+    portable 60-bit hash (use bits<=60 with it) replayable in plain SQL.
+
+    The per-word hash is computed ONCE (transform), then folded — not
+    re-hashed per bit inside the aggregate lambda."""
     from functools import reduce
 
+    if hash_fn == "md5" and bits > 60:
+        raise ValueError("md5 hash provides 60 bits; pass bits<=60")
     words = F.array_distinct(_words(text_col))
+    hashes = F.transform(words, lambda w: _hash64(w, hash_fn))
     acc = F.aggregate(
-        words,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda a, w: F.zip_with(
+        lambda a, hv: F.zip_with(
             a,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(w), j).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1),
                     )
                     .otherwise(F.lit(-1))

@@ -104,10 +104,17 @@ def token_count(
 
 
 def fingerprint(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Winnowing-style fingerprint: min xxhash64 over character k-gram
-    shingles (order-insensitive, whitespace-normalized)."""
+    """Winnowing-style fingerprint: min hash over character k-gram shingles
+    (order-insensitive, whitespace-normalized). ``hash_fn="md5"`` uses the
+    portable 60-bit md5 hash so plain-SQL engines can replay it."""
+    from .dedup import _hash64
+
     c = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     n = F.length(c)
     sh = F.transform(
@@ -116,5 +123,5 @@ def fingerprint(
     )
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_min(F.transform(sh, lambda g: F.xxhash64(g))).alias("fingerprint"),
+        F.array_min(F.transform(sh, lambda g: _hash64(g, hash_fn))).alias("fingerprint"),
     )

@@ -41,10 +41,30 @@ def test_jaccard_pairs_known(spark):
             }
         )
     )
-    out = dedup.jaccard_pairs(df, threshold=0.4).toPandas()
+    # max_doc_freq=None: on a 3-doc corpus every shared token is "hot"
+    out = dedup.jaccard_pairs(df, threshold=0.4, max_doc_freq=None).toPandas()
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["id_a"], r["id_b"]) == (1, 2) and abs(r["jaccard"] - 0.5) < 1e-12
+
+
+def test_jaccard_skew_guard_bounds_hot_token_join(spark):
+    # adversarial corpus: every doc shares the token "the"; without the
+    # default stopword cut the token join is all-pairs (n*(n-1)/2 = 4950)
+    n = 100
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": [f"the unique{i}a unique{i}b unique{i}c" for i in range(n)],
+            }
+        )
+    )
+    out = dedup.jaccard_pairs(df, threshold=0.01).toPandas()
+    # guard ON by default: "the" dropped -> zero candidate pairs survive
+    assert len(out) == 0
+    unguarded = dedup.jaccard_pairs(df, threshold=0.01, max_doc_freq=None).toPandas()
+    assert len(unguarded) == n * (n - 1) / 2
 
 
 def test_minhash_finds_near_dups(spark):
@@ -59,6 +79,40 @@ def test_minhash_finds_near_dups(spark):
     pairs = set(map(tuple, cands[["id_a", "id_b"]].values))
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+@pytest.mark.parametrize("num_perm,bands", [(10, 3), (32, 6), (7, 4), (32, 8)])
+def test_banding_covers_every_position(spark, num_perm, bands):
+    """Perturbing ANY single signature position must change exactly one
+    band's bucket — i.e. no position is silently dropped from banding
+    (the old equal-slice code dropped the tail when bands ∤ num_perm)."""
+    base = list(range(100, 100 + num_perm))
+    rows = [(0, base)] + [
+        (p + 1, base[:p] + [999999] + base[p + 1 :]) for p in range(num_perm)
+    ]
+    sig_df = spark.createDataFrame(rows, "id long, signature array<long>")
+    bb = dedup.banded_buckets(sig_df, bands=bands).toPandas()
+    ref = bb[bb["id"] == 0].set_index("band")["bucket"]
+    for p in range(num_perm):
+        pert = bb[bb["id"] == p + 1].set_index("band")["bucket"]
+        assert (pert != ref).sum() == 1, f"position {p} not covered by exactly one band"
+
+
+def test_md5_60_matches_duckdb(spark):
+    """The portable hash used by the md5 oracle path must agree with DuckDB."""
+    import duckdb
+
+    vals = ["hello", "", "a|0", "ümlaut", "的"]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    got = dict(
+        df.select("x", dedup.md5_60(F.col("x")).alias("h")).toPandas().values
+    )
+    con = duckdb.connect()
+    for v in vals:
+        (exp,) = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?),1,15)) AS BIGINT)", [v]
+        ).fetchone()
+        assert got[v] == exp, v
 
 
 def test_simhash_near_dups(spark):

@@ -72,6 +72,14 @@ def main():
         if sorted(mine.columns) != sorted(theirs.columns):
             status.append(f"cols {sorted(mine.columns)} vs {sorted(theirs.columns)}")
         if not status:
+            # the driver's value hash is dtype-sensitive (e.g. DuckDB HUGEINT
+            # SUMs vs Spark BIGINT) — flag dtype drift as a failure too
+            da = {c: str(mine[c].dtype) for c in mine.columns}
+            db = {c: str(theirs[c].dtype) for c in theirs.columns}
+            if da != db:
+                diff = {c: (da[c], db[c]) for c in da if da[c] != db.get(c)}
+                status.append(f"dtypes {diff}")
+        if not status:
             a, b = normalize(mine), normalize(theirs)
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, atol=1e-9)
