@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .ingest import explode_tokens
 from .operators.rollup import rollup_points
+from .tables import SnapshotTable
 
 TOKEN_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
@@ -32,7 +33,7 @@ def _merge_cells(existing: DataFrame | None, incoming: DataFrame) -> DataFrame:
         return incoming
     merged = (
         existing.unionByName(incoming)
-        .groupBy("doc_id", "bucket_start", "tier")
+        .groupBy("doc_id", "bucket_start", "tier", "day")
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("sum_val").alias("sum_val"),
@@ -42,7 +43,8 @@ def _merge_cells(existing: DataFrame | None, incoming: DataFrame) -> DataFrame:
         .withColumn("avg_val", F.col("sum_val") / F.col("cnt"))
     )
     return merged.select(
-        "doc_id", "bucket_start", "cnt", "sum_val", "avg_val", "min_val", "max_val", "tier"
+        "doc_id", "bucket_start", "cnt", "sum_val", "avg_val", "min_val", "max_val",
+        "tier", "day",
     )
 
 
@@ -70,16 +72,25 @@ def run_streaming_rollup(
     long_df = explode_tokens(stream)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        incoming = rollup_points(batch_df, tier_seconds, value_col=value_col)
-        try:
-            existing = batch_df.sparkSession.read.parquet(agg_path)
-        except Exception:
-            existing = None
-        merged = _merge_cells(existing, incoming)
-        tmp = agg_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = batch_df.sparkSession.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(agg_path)
+        """Cell-scoped MERGE: read ONLY the day-partitions the micro-batch
+        touches, fold the batch's partial aggregates in, and atomically
+        replace just those partitions (SnapshotTable.overwrite_partitions).
+        Per-batch cost is O(touched cells), not O(store size), and the
+        snapshot commit replaces the old tmp-dir double write."""
+        spark = batch_df.sparkSession
+        incoming = rollup_points(batch_df, tier_seconds, value_col=value_col).withColumn(
+            "day", F.date_format("bucket_start", "yyyy-MM-dd")
+        ).persist()
+        days = {r["day"] for r in incoming.select("day").distinct().collect()}
+        store = SnapshotTable(agg_path)
+        hit_files = store.files_for_partitions(days)
+        if hit_files:
+            existing = spark.read.parquet(*hit_files)
+            merged = _merge_cells(existing, incoming)
+        else:
+            merged = incoming
+        store.overwrite_partitions(merged, "day")
+        incoming.unpersist()
 
     q = (
         long_df.writeStream.foreachBatch(process_batch)

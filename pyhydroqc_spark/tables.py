@@ -100,6 +100,37 @@ class SnapshotTable:
             files[fp] = partition
         return self._commit(files)
 
+    def overwrite_partitions(self, df: DataFrame, partition_col: str) -> int:
+        """Dynamic partition overwrite (Iceberg ``replaceWhere`` analogue):
+        ONE Spark write job partitioned on ``partition_col``; only the
+        partitions actually present in ``df`` are replaced, everything else
+        is carried forward untouched — all in a single atomic snapshot.
+
+        ``partition_col`` is duplicated into a ``__part`` directory key so
+        the original column stays inside the data files (readers get the
+        same schema whether they scan one file or the whole table)."""
+        from pyspark.sql import functions as F
+
+        commit_dir = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
+        (
+            df.withColumn("__part", F.col(partition_col).cast("string"))
+            .write.mode("overwrite")
+            .partitionBy("__part")
+            .parquet(commit_dir)
+        )
+        new_files: dict[str, str] = {}
+        for fp in sorted(glob.glob(os.path.join(commit_dir, "__part=*", "*.parquet"))):
+            pval = os.path.basename(os.path.dirname(fp)).split("=", 1)[1]
+            new_files[fp] = pval
+        touched = set(new_files.values())
+        files = {
+            fp: p
+            for fp, p in self._load(self.current_snapshot_id())["files"].items()
+            if p not in touched
+        }
+        files.update(new_files)
+        return self._commit(files)
+
     # -- reads ----------------------------------------------------------------
 
     def files(self, snapshot_id: int | None = None) -> list[str]:
@@ -111,6 +142,17 @@ class SnapshotTable:
         if not fs:
             return None
         return spark.read.parquet(*fs)
+
+    def files_for_partitions(
+        self, partitions: set, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Partition-pruned file listing — the read side of a cell-scoped
+        merge touches only the partitions named, never the whole store."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        parts = {str(p) for p in partitions}
+        return sorted(
+            fp for fp, p in self._load(sid)["files"].items() if p in parts
+        )
 
     def added_files(self, from_snapshot: int, to_snapshot: int | None = None) -> list[str]:
         """Files present in ``to`` but not in ``from`` — the incremental diff."""

@@ -1,5 +1,6 @@
-"""Streaming incremental rollups: AvailableNow drain + cell merge equals the
-one-shot batch rollup; resumes from checkpoint without double counting."""
+"""Streaming incremental rollups: AvailableNow drain + cell-scoped merge
+equals the one-shot batch rollup; resumes from checkpoint without double
+counting; a micro-batch touching day D rewrites ONLY day D's partitions."""
 
 import os
 
@@ -11,6 +12,7 @@ from pyhydroqc_spark import streaming
 from pyhydroqc_spark.datagen import gen_token_table
 from pyhydroqc_spark.ingest import explode_tokens
 from pyhydroqc_spark.operators.rollup import rollup_points
+from pyhydroqc_spark.tables import SnapshotTable
 
 
 def _tok_schema():
@@ -25,6 +27,10 @@ def _tok_schema():
     ])
 
 
+def _read_agg(spark, out_dir):
+    return SnapshotTable(os.path.join(out_dir, "agg")).read(spark)
+
+
 def test_streaming_rollup_incremental(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
@@ -35,7 +41,7 @@ def test_streaming_rollup_incremental(spark, tmp_path):
     spark.createDataFrame(first, schema=_tok_schema()).write.mode("append").parquet(in_dir)
 
     streaming.run_streaming_rollup(spark, in_dir, out_dir)
-    agg1 = spark.read.parquet(os.path.join(out_dir, "agg"))
+    agg1 = _read_agg(spark, out_dir)
     assert set(r["doc_id"] for r in agg1.select("doc_id").distinct().collect()) == set(
         first["doc_id"]
     )
@@ -44,7 +50,7 @@ def test_streaming_rollup_incremental(spark, tmp_path):
     spark.createDataFrame(second, schema=_tok_schema()).write.mode("append").parquet(in_dir)
     streaming.run_streaming_rollup(spark, in_dir, out_dir)
     agg2 = (
-        spark.read.parquet(os.path.join(out_dir, "agg"))
+        _read_agg(spark, out_dir)
         .orderBy("doc_id", "bucket_start")
         .toPandas()
     )
@@ -58,5 +64,51 @@ def test_streaming_rollup_incremental(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(
         agg2.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_streaming_merge_rewrites_only_touched_days(spark, tmp_path):
+    """The cell-scoped merge must leave untouched day-partitions' files
+    byte-identical (same manifest entries), not rewrite the whole store."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    # batch 1: one series spanning ~8 days (800 tokens @ 15min cadence)
+    pdf = gen_token_table(n_series=2, n_tok=800, seed=7)
+    spark.createDataFrame(pdf, schema=_tok_schema()).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir)
+
+    store = SnapshotTable(os.path.join(out_dir, "agg"))
+    before = {
+        p: set(store.files_for_partitions({p})) for p in store.partitions()
+    }
+    assert len(before) >= 3  # multi-day store
+
+    # batch 2: a short series — 96 tokens = exactly the FIRST day only
+    pdf2 = gen_token_table(n_series=1, n_tok=96, seed=11)
+    pdf2["doc_id"] = "late-" + pdf2["doc_id"]
+    spark.createDataFrame(pdf2, schema=_tok_schema()).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir)
+
+    after = {p: set(store.files_for_partitions({p})) for p in store.partitions()}
+    touched = {p for p in before if before[p] != after.get(p)}
+    assert touched == {"2022-01-01"}, touched
+
+    # and the merged store still equals the one-shot batch rollup
+    full = pd.concat([pdf, pdf2], ignore_index=True)
+    exp = (
+        rollup_points(
+            explode_tokens(spark.createDataFrame(full, schema=_tok_schema())),
+            900,
+            value_col="value",
+        )
+        .orderBy("doc_id", "bucket_start")
+        .toPandas()
+    )
+    got = store.read(spark).orderBy("doc_id", "bucket_start").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
         check_dtype=False,
     )
