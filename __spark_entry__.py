@@ -290,6 +290,37 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_jaccard_ngram(spark, sf_dir):
+    from pyhydroqc_spark.textops import dedup
+
+    out = dedup.jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.4, tokenizer=("char", 4)
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    from pyhydroqc_spark.textops import ann
+
+    out = ann.cosine_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.35,
+        n_planes=4,
+        n_tables=8,
+        dim=64,
+        plane_source="md5",
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     from pyhydroqc_spark.textops import ann
 
@@ -343,6 +374,32 @@ def q_lang_stats(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
+    )
+
+
+def q_ar1_residuals(spark, sf_dir):
+    """The pipeline's JVM-side ARI(1,1) residual math, oracle-checked: the
+    per-series least-squares fit is just moment sums, reproducible in SQL."""
+    from pyhydroqc_spark.operators import detect
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
+    out = detect.arima_residuals_sql(df, "observed", order=(1, 1, 0), cache_input=False)
+    return out.select("doc_id", "pos", F.round("residual", 6).alias("residual"))
+
+
+def q_windowed_detect_counts(spark, sf_dir):
+    """Windowed-regression detector (LSTM-workflow stand-in) with a
+    closed-form 2-lag OLS head so DuckDB can replay the whole chain."""
+    from pyhydroqc_spark.operators import threshold, windowed_detect
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
+    out = windowed_detect.windowed_regression_residuals(
+        df, "observed", time_steps=2, intercept=False, ridge=0.0
+    )
+    out = threshold.dynamic_threshold(out, "residual", window_sz=30, alpha=0.05, min_range=1.0)
+    out = threshold.detect_threshold_anomalies(out, "residual")
+    return out.groupBy("doc_id").agg(
+        F.sum(F.col("detected_anomaly").cast("long")).alias("n_detected")
     )
 
 
@@ -428,11 +485,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_wordset": q_dedup_wordset,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_ngram": q_jaccard_ngram,
+        "embed_dup_pairs": q_embed_dup_pairs,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "lang_stats": q_lang_stats,
+        "ar1_residuals": q_ar1_residuals,
+        "windowed_detect_counts": q_windowed_detect_counts,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -700,6 +761,62 @@ JOIN sz sb ON sb.doc_id = ib
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
 """
 
+    # char-4-gram Jaccard with the same >50%-doc-freq stopgram cut
+    sql["jaccard_ngram"] = r"""
+WITH w0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(1, length(lower(text)) - 3) + 1),
+    i -> substr(lower(text), CAST(i AS INT), 4)))) AS wd
+  FROM documents
+), hot AS (
+  SELECT wd FROM w0 GROUP BY wd
+  HAVING COUNT(DISTINCT doc_id) > 0.5 * (SELECT COUNT(*) FROM documents)
+), w AS (
+  SELECT * FROM w0 WHERE wd NOT IN (SELECT wd FROM hot)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+  FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+  GROUP BY ia, ib
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM c
+JOIN sz sa ON sa.doc_id = ia
+JOIN sz sb ON sb.doc_id = ib
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.4
+"""
+
+    # same md5-derived LSH tables as lsh_topk, then exact cosine >= 0.35 on
+    # bucket-sharing pairs (a < b)
+    sql["embed_dup_pairs"] = """
+WITH planes AS (
+  SELECT t, p, list_transform(range(0, 64), d ->
+    CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS pv
+  FROM (SELECT unnest(range(0, 8)) AS t) ts CROSS JOIN (SELECT unnest(range(0, 4)) AS p) ps
+), emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN list_dot_product(e, pv) >= 0 THEN (1 << CAST(p AS INT)) ELSE 0 END) AS bucket
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
+  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.e, eb.e) AS cos
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.id_a
+  JOIN emb eb ON eb.vec_id = c.id_b
+) WHERE cos >= 0.35
+"""
+
     sql["ann_topk"] = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
 SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
@@ -750,6 +867,67 @@ FROM documents
     sql["lang_stats"] = """
 SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang
+"""
+
+    # ARI(1,1): y = Δx; φ = Σ(y·y₋₁)/Σ(y₋₁²) over rows with both lags
+    # (no intercept when d=1, arima_residuals_sql), stabilized exactly like
+    # the engine; pred = x₋₁ + φ·coalesce(y₋₁, 0); first row's resid pinned 0
+    sql["ar1_residuals"] = BASE_SQL + """
+, dx AS (
+  SELECT doc_id, pos, value,
+         value - LAG(value) OVER w AS y,
+         LAG(value) OVER w AS xl1,
+         ROW_NUMBER() OVER w AS rn
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), dl AS (
+  SELECT *, LAG(y) OVER (PARTITION BY doc_id ORDER BY pos) AS yl FROM dx
+), coef AS (
+  SELECT doc_id, SUM(y * yl) / SUM(yl * yl) AS phi_raw
+  FROM dl WHERE y IS NOT NULL AND yl IS NOT NULL GROUP BY doc_id
+), c2 AS (
+  SELECT doc_id,
+         CASE WHEN ABS(phi_raw) >= 1 THEN phi_raw * 0.98 / ABS(phi_raw)
+              ELSE phi_raw END AS phi
+  FROM coef
+)
+SELECT d.doc_id, d.pos,
+       ROUND(CASE WHEN d.rn <= 1 THEN 0.0
+                  ELSE d.value - (d.xl1 + c2.phi * COALESCE(d.yl, 0.0)) END, 6) AS residual
+FROM dl d JOIN c2 ON c2.doc_id = d.doc_id
+"""
+
+    # windowed 2-lag OLS head (no intercept, no ridge → Cramer closed form),
+    # residuals NULL outside the modeled region (rn<=2), then the same
+    # dynamic-threshold detection as the engine
+    sql["windowed_detect_counts"] = BASE_SQL + f"""
+, lag2 AS (
+  SELECT doc_id, pos, value,
+         LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+         ROW_NUMBER() OVER w AS rn
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), m AS (
+  SELECT doc_id,
+         SUM(l1*l1) AS s11, SUM(l1*l2) AS s12, SUM(l2*l2) AS s22,
+         SUM(value*l1) AS s01, SUM(value*l2) AS s02
+  FROM lag2 WHERE rn > 2 GROUP BY doc_id
+), beta AS (
+  SELECT doc_id,
+         (s01*s22 - s02*s12) / (s11*s22 - s12*s12) AS b1,
+         (s02*s11 - s01*s12) / (s11*s22 - s12*s12) AS b2
+  FROM m
+), resid AS (
+  SELECT l.doc_id, l.pos,
+         CASE WHEN l.rn > 2 THEN l.value - (beta.b1*l.l1 + beta.b2*l.l2) END AS r
+  FROM lag2 l JOIN beta ON beta.doc_id = l.doc_id
+), thr AS (
+  SELECT doc_id, pos, r,
+         AVG(r) OVER w AS mu, STDDEV_SAMP(r) OVER w AS sd
+  FROM resid WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN r < mu - GREATEST(1.0, {Z_05!r} * sd)
+                      OR r > mu + GREATEST(1.0, {Z_05!r} * sd) THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
+FROM thr GROUP BY doc_id
 """
 
     # ---- portable-hash oracles (md5_60(x) = CAST('0x'||substr(md5(x),1,15) AS BIGINT),

@@ -32,7 +32,19 @@ def build_token_frame(sf: float, n_points_override: int | None):
     n_tok = 16_000
     n_series = max(8, target // n_tok)
     log(f"token table: {n_series} series x {n_tok} tokens = {n_series * n_tok:,} points")
-    return gen_token_table(n_series=n_series, n_tok=n_tok, seed=42), n_series * n_tok
+    pdf = gen_token_table(n_series=n_series, n_tok=n_tok, seed=42)
+    # executor-proxy sharding (tools/executor_scaling.py): this process
+    # handles only the series whose id hashes to its shard — K cooperating
+    # single-JVM "executors" split the same deterministic table
+    shards = int(os.environ.get("BENCH_SHARDS", "0"))
+    if shards:
+        import zlib
+
+        idx = int(os.environ.get("BENCH_SHARD_IDX", "0"))
+        mask = pdf["doc_id"].map(lambda s: zlib.crc32(str(s).encode()) % shards == idx)
+        pdf = pdf[mask].reset_index(drop=True)
+        log(f"shard {idx}/{shards}: {len(pdf)} series")
+    return pdf, int(pdf["n_tok"].sum())
 
 
 def main():
@@ -69,7 +81,14 @@ def main():
             StructField("source", StringType(), False),
         ]
     )
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"tokens_{n_points}")
+    shard_tag = (
+        f"_s{os.environ['BENCH_SHARDS']}_{os.environ.get('BENCH_SHARD_IDX', '0')}"
+        if os.environ.get("BENCH_SHARDS")
+        else ""
+    )
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench", f"tokens_{n_points}{shard_tag}"
+    )
     if not os.path.exists(bench_dir):
         spark.createDataFrame(pdf, schema=schema).repartition(max(cpus, 8), "doc_id").write.mode(
             "overwrite"
@@ -122,10 +141,26 @@ def main():
         return total
 
     if os.environ.get("BENCH_WARMUP", "1") == "1":
-        # trigger codegen + python-worker startup outside the timed section
-        warm = tok.limit(4)
+        # trigger codegen AND spawn the full per-core Python/Arrow worker
+        # pool outside the timed section: >= 4 tiny groups per core so every
+        # worker slot runs at least one grouped-map task before the clock
+        warm = (
+            tok.limit(4 * max(cpus, 8))
+            .withColumn("tokens", F.slice("tokens", 1, 128))
+            .withColumn("n_tok", F.lit(128))
+        )
         run_once(warm)
         log("warmup done")
+
+    barrier = os.environ.get("BENCH_BARRIER_FILE")
+    if barrier:
+        # executor-proxy rendezvous: signal warm, then start the timed
+        # section simultaneously with the sibling processes
+        idx = os.environ.get("BENCH_SHARD_IDX", "0")
+        with open(f"{barrier}.ready.{idx}", "w") as f:
+            f.write("1")
+        while not os.path.exists(barrier):
+            time.sleep(0.05)
 
     t0 = time.time()
     rolled = run_once(tok)

@@ -1,0 +1,253 @@
+"""Windowed-regression detection workflows — the engine's stand-in for the
+reference's LSTM detectors (surface parity, documented semantic deviation).
+
+The reference trains keras LSTMs over sliding windows and flags large
+one-step residuals (`/root/reference/pyhydroqc/modeling_utilities.py:125-536`,
+workflows `model_workflow.py:97-189` univar / `:192-317` multivar). Keras/
+tensorflow are absent from this runtime, so the engine keeps the WORKFLOW —
+window the series with ``time_steps``, train a per-series predictor on the
+windows, score residuals, dynamic-threshold them, OR with rules flags,
+widen+enumerate events — and swaps the model for a deterministic ridge
+linear autoregressor fit by normal equations in numpy (per-series, inside
+one grouped-map Arrow UDF; the series axis is the parallel one, identical
+physical shape to the ARIMA path).
+
+Window conventions mirror the reference exactly:
+
+* ``vanilla``: predict x_t from [x_{t-ts} … x_{t-1}]; the first ``ts`` rows
+  of each series carry no prediction (reference drops ``df[ts:]``,
+  `model_workflow.py:125,137`).
+* ``bidir``:  predict x_t from [x_{t-ts} … x_{t-1}, x_{t+1} … x_{t+ts}];
+  both edges carry no prediction (reference drops ``df[ts:-ts]``,
+  `model_workflow.py:127,139`).
+
+Multivar (`model_workflow.py:192-317`): every sensor of a site contributes
+its window to the feature block and each sensor gets its own regression
+head — the linear analogue of the reference's n-output LSTM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from .events import ORDER_COL, SERIES_KEY, anomaly_events
+from .rules import interpolate, persistence, range_check
+from .threshold import detect_threshold_anomalies, dynamic_threshold
+
+
+def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
+                 intercept: bool) -> np.ndarray:
+    """One series → one-step predictions (NaN on the undefined edges)."""
+    n = len(x)
+    ts = time_steps
+    pred = np.full(n, np.nan)
+    lo, hi = (ts, n) if mode == "vanilla" else (ts, n - ts)
+    if hi - lo < ts + 2:
+        return pred
+    cols = [x[lo - j - 1 : hi - j - 1] for j in range(ts)]  # x_{t-1}..x_{t-ts}
+    if mode == "bidir":
+        cols += [x[lo + j + 1 : hi + j + 1] for j in range(ts)]  # x_{t+1}..x_{t+ts}
+    X = np.column_stack(cols)
+    if intercept:
+        X = np.column_stack([np.ones(len(X)), X])
+    t = x[lo:hi]
+    XtX = X.T @ X + ridge * np.eye(X.shape[1])
+    beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
+    pred[lo:hi] = X @ beta
+    return pred
+
+
+def windowed_regression_residuals(
+    df: DataFrame,
+    value_col: str = "observed",
+    time_steps: int = 10,
+    mode: str = "vanilla",
+    ridge: float = 1e-3,
+    intercept: bool = True,
+    key: str = SERIES_KEY,
+    order_col: str = ORDER_COL,
+    resid_col: str = "residual",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """Per-series windowed one-step predictions + residuals.
+
+    Rows outside the modeled region (the reference's dropped edges) get
+    NULL residual/prediction — downstream thresholding skips NULLs, which
+    matches the reference operating on the trimmed frame."""
+    if mode not in ("vanilla", "bidir"):
+        raise ValueError(f"mode must be vanilla|bidir, got {mode!r}")
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(resid_col, DoubleType(), True),
+            StructField(pred_col, DoubleType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        valid = ~np.isnan(x)
+        if not valid.all() and valid.any():
+            x = np.where(
+                valid, x,
+                np.interp(np.arange(len(x)), np.flatnonzero(valid), x[valid]),
+            )
+        pred = _fit_predict(x, time_steps, mode, ridge, intercept)
+        pdf[pred_col] = pred
+        pdf[resid_col] = pdf[value_col].to_numpy(dtype=float) - pred
+        return pdf
+
+    return df.groupBy(key).applyInPandas(kernel, schema=out_schema)
+
+
+def regression_detect_univar(
+    df: DataFrame,
+    params=None,
+    time_steps: int = 10,
+    mode: str = "vanilla",
+    rules: bool = True,
+    value_col: str = "value",
+    key: str = SERIES_KEY,
+    order_col: str = ORDER_COL,
+) -> DataFrame:
+    """Univariate detection workflow (`model_workflow.py:97-189` shape):
+
+    1. (rules) range_check + persistence + interpolate → observed
+    2. per-series windowed regression residuals (LSTM stand-in)
+    3. dynamic threshold over the modeled region's residuals
+    4. residual-vs-threshold anomalies, OR'd with rules anomalies
+    5. widen + enumerate → detected_event
+
+    Edge rows (no prediction) carry detected_anomaly = false, like the
+    reference's trimmed frame never scoring them."""
+    from ..params import DEFAULT_PARAMS
+
+    p = params or DEFAULT_PARAMS
+    out = df
+    if rules:
+        out = range_check(out, p.max_range, p.min_range, value_col)
+        out = persistence(out, p.persist, value_col)
+        out = interpolate(out, 10000, value_col)
+    else:
+        out = out.withColumn("anomaly", F.lit(False)).withColumn(
+            "observed", F.col(value_col)
+        )
+    out = windowed_regression_residuals(
+        out, "observed", time_steps=time_steps, mode=mode, key=key, order_col=order_col
+    )
+    out = dynamic_threshold(
+        out,
+        "residual",
+        window_sz=p.window_sz,
+        alpha=p.alpha,
+        min_range=p.threshold_min,
+        key=key,
+        order=order_col,
+    )
+    out = detect_threshold_anomalies(out)
+    out = out.withColumn(
+        "detected_anomaly",
+        F.coalesce(F.col("detected_anomaly") & F.col("residual").isNotNull(), F.lit(False)),
+    )
+    out = out.withColumn("all_anomalies", F.col("detected_anomaly") | F.col("anomaly"))
+    return anomaly_events(
+        out, "all_anomalies", wf=p.widen, out_col="detected_event", key=key, order=order_col
+    )
+
+
+def regression_detect_multivar(
+    df: DataFrame,
+    params=None,
+    time_steps: int = 10,
+    mode: str = "vanilla",
+    rules: bool = True,
+    value_col: str = "value",
+    site_col: str = "source",
+    sensor_col: str = "sensor",
+    key: str = SERIES_KEY,
+    order_col: str = ORDER_COL,
+) -> DataFrame:
+    """Multivariate workflow (`model_workflow.py:192-317` shape): all of a
+    site's sensors feed one feature block; each sensor gets its own
+    regression head over that block (the reference's n-output LSTM,
+    `modeling_utilities.py:354-536`). Input: long rows keyed by
+    (site, sensor, pos); the site is the grouping axis.
+    """
+    from ..params import DEFAULT_PARAMS
+
+    p = params or DEFAULT_PARAMS
+    out = df
+    if rules:
+        out = range_check(out, p.max_range, p.min_range, value_col)
+        out = persistence(out, p.persist, value_col)
+        out = interpolate(out, 10000, value_col)
+    else:
+        out = out.withColumn("anomaly", F.lit(False)).withColumn(
+            "observed", F.col(value_col)
+        )
+
+    out_schema = StructType(
+        list(out.schema.fields)
+        + [
+            StructField("residual", DoubleType(), True),
+            StructField("prediction", DoubleType(), True),
+        ]
+    )
+    ts = time_steps
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([sensor_col, order_col]).reset_index(drop=True)
+        wide = pdf.pivot_table(
+            index=order_col, columns=sensor_col, values="observed", aggfunc="first"
+        ).sort_index()
+        sensors = list(wide.columns)
+        M = wide.to_numpy(dtype=float)
+        for j in range(M.shape[1]):
+            col = M[:, j]
+            valid = ~np.isnan(col)
+            if not valid.all() and valid.any():
+                M[:, j] = np.interp(np.arange(len(col)), np.flatnonzero(valid), col[valid])
+        n = M.shape[0]
+        lo, hi = (ts, n) if mode == "vanilla" else (ts, n - ts)
+        preds = {s: np.full(n, np.nan) for s in sensors}
+        if hi - lo >= ts * len(sensors) + 2:
+            blocks = [M[lo - j - 1 : hi - j - 1, :] for j in range(ts)]
+            if mode == "bidir":
+                blocks += [M[lo + j + 1 : hi + j + 1, :] for j in range(ts)]
+            X = np.column_stack([np.ones(hi - lo)] + blocks)
+            XtX = X.T @ X + 1e-3 * np.eye(X.shape[1])
+            for sj, s in enumerate(sensors):
+                t = M[lo:hi, sj]
+                beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
+                preds[s][lo:hi] = X @ beta
+        pos_ix = {v: i for i, v in enumerate(wide.index)}
+        pr = np.array(
+            [preds[s][pos_ix[o]] for s, o in zip(pdf[sensor_col], pdf[order_col])]
+        )
+        pdf["prediction"] = pr
+        pdf["residual"] = pdf["observed"].to_numpy(dtype=float) - pr
+        return pdf
+
+    out = out.groupBy(site_col).applyInPandas(kernel, schema=out_schema)
+    out = dynamic_threshold(
+        out,
+        "residual",
+        window_sz=p.window_sz,
+        alpha=p.alpha,
+        min_range=p.threshold_min,
+        key=key,
+        order=order_col,
+    )
+    out = detect_threshold_anomalies(out)
+    out = out.withColumn(
+        "detected_anomaly",
+        F.coalesce(F.col("detected_anomaly") & F.col("residual").isNotNull(), F.lit(False)),
+    )
+    out = out.withColumn("all_anomalies", F.col("detected_anomaly") | F.col("anomaly"))
+    return anomaly_events(
+        out, "all_anomalies", wf=p.widen, out_col="detected_event", key=key, order=order_col
+    )

@@ -107,6 +107,71 @@ def bucket_ids(vec_col, planes: list[list[float]]):
     return key
 
 
+def _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source):
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if plane_source == "md5":
+        return [md5_planes(dim, n_planes, t) for t in range(n_tables)]
+    return [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+
+def _with_buckets(d: DataFrame, tables, id_col: str, vec_col: str, idc: str) -> DataFrame:
+    """(idc, __<idc>_v, table, bucket) — one row per (vector, hash table)."""
+    from functools import reduce
+
+    out = d.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"__{idc}_v"))
+    rows = [
+        out.withColumn("table", F.lit(t)).withColumn(
+            "bucket", bucket_ids(f"__{idc}_v", planes)
+        )
+        for t, planes in enumerate(tables)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    plane_source: str = "gaussian",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine).
+
+    Candidates = vectors sharing a sign-LSH bucket in ANY table (the same
+    O(candidates) join as ``lsh_topk``, never the n² cross join), then an
+    exact cosine rerank keeps pairs ≥ threshold. ``plane_source="md5"``
+    makes the candidate set replayable by a SQL oracle."""
+    tables = _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source)
+    banded = _with_buckets(df, tables, id_col, vec_col, "id")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__id_v").alias("__va"),
+            F.col("b.__id_v").alias("__vb"),
+        )
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+    )
+    return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -129,27 +194,10 @@ def lsh_topk(
     ``.first()`` probe). ``plane_source="md5"`` uses hash-derived planes
     (``md5_planes``) so an external SQL oracle can replay the bucketing.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    if plane_source == "md5":
-        tables = [md5_planes(dim, n_planes, t) for t in range(n_tables)]
-    else:
-        tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    tables = _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source)
 
     def with_buckets(d, idc):
-        out = d.select(
-            F.col(id_col).alias(idc), F.col(vec_col).alias(f"__{idc}_v")
-        )
-        rows = []
-        for t, planes in enumerate(tables):
-            rows.append(
-                out.withColumn("table", F.lit(t)).withColumn(
-                    "bucket", bucket_ids(f"__{idc}_v", planes)
-                )
-            )
-        from functools import reduce
-
-        return reduce(lambda a, b: a.unionByName(b), rows)
+        return _with_buckets(d, tables, id_col, vec_col, idc)
 
     base_b = with_buckets(df, "neighbor_id")
     q_b = with_buckets(queries, "query_id")

@@ -68,16 +68,37 @@ def wordset_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _units(text_col: str, tokenizer):
+    """Distinct comparison units: lowercase words, or char k-grams when
+    ``tokenizer=("char", k)`` (n-gram Jaccard — robust to word reordering
+    and whitespace edits)."""
+    if tokenizer == "word":
+        return F.array_distinct(_words(text_col))
+    kind, k = tokenizer
+    if kind != "char":
+        raise ValueError(f"tokenizer must be 'word' or ('char', k), got {tokenizer!r}")
+    c = F.lower(F.col(text_col))
+    n = F.length(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), n - (k - 1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: float | None = 0.5,
+    tokenizer="word",
 ) -> DataFrame:
-    """All pairs (a < b) with word-set Jaccard ≥ threshold.
+    """All pairs (a < b) with set Jaccard ≥ threshold.
 
-    J(A,B) = |A∩B| / (|A|+|B|−|A∩B|), sets of distinct lowercase words.
+    J(A,B) = |A∩B| / (|A|+|B|−|A∩B|), sets of distinct lowercase words
+    (default) or char k-grams (``tokenizer=("char", k)``).
 
     ``max_doc_freq`` (default 0.5) is the skew guard: a token present in
     more than that fraction of documents joins every doc sharing it against
@@ -87,7 +108,7 @@ def jaccard_pairs(
     disable. Dropped-token count is reported via print (no silent caps).
     """
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_words(text_col))).alias("w"))
+        df.select(F.col(id_col).alias("id"), F.explode(_units(text_col, tokenizer)).alias("w"))
     )
     if max_doc_freq is not None:
         n_docs = df.count()

@@ -67,6 +67,48 @@ def test_jaccard_skew_guard_bounds_hot_token_join(spark):
     assert len(unguarded) == n * (n - 1) / 2
 
 
+def test_jaccard_char_ngrams(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["abcdefgh", "abcdefgx", "zzzzyyyy"],
+            }
+        )
+    )
+    out = dedup.jaccard_pairs(
+        df, threshold=0.3, tokenizer=("char", 3), max_doc_freq=None
+    ).toPandas()
+    # docs 1,2: grams {abc..fgh} vs {abc..fgx}: 5 common of 7 -> J = 5/7
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert abs(r["jaccard"] - 5 / 7) < 1e-12
+
+
+def test_cosine_dup_pairs_finds_planted_near_dup(spark, emb):
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    base = emb.limit(50).toPandas()
+    vecs = [np.array(v, dtype=np.float32) for v in base["embedding"]]
+    # plant an exact near-dup of vector 0 (tiny perturbation)
+    dup = vecs[0] + np.float32(0.001)
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(base["vec_id"], vecs)]
+    rows.append((10_000, [float(x) for x in dup]))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = ann.cosine_dup_pairs(df, threshold=0.99, n_planes=6, n_tables=6, dim=64).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (int(base["vec_id"].iloc[0]), 10_000) in pairs
+    # nothing else in random embeddings is a 0.99-cosine near-dup
+    assert len(pairs) == 1
+
+
 def test_minhash_finds_near_dups(spark):
     texts = {
         1: "the quick brown fox jumps over the lazy dog again and again today",

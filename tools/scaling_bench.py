@@ -7,7 +7,8 @@ estimator), plus a pure-CPU spin probe that measures the HARDWARE's own
 N→4N scaling ceiling for context. Writes BENCH/BASELINE.md.
 
 Env: SCALE_POINTS (default 4M), SCALE_REPS (default 3),
-     SCALE_PAIRS (default "8:32,4:16").
+     SCALE_PAIRS (default "1:4,2:8").
+Writes BENCH/SCALING.md (BENCH/BASELINE.md is the curated summary).
 """
 
 from __future__ import annotations
@@ -20,11 +21,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-POINTS = int(os.environ.get("SCALE_POINTS", "4000000"))
+POINTS = int(os.environ.get("SCALE_POINTS", "16000000"))
 REPS = int(os.environ.get("SCALE_REPS", "3"))
 PAIRS = [
     tuple(int(x) for x in p.split(":"))
-    for p in os.environ.get("SCALE_PAIRS", "8:32,4:16").split(",")
+    for p in os.environ.get("SCALE_PAIRS", "1:4,2:8").split(",")
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -60,21 +61,28 @@ def run_pipeline_once(cpus: int) -> float:
 
 
 def main():
+    import statistics
+
     levels = sorted({c for p in PAIRS for c in p})
     walls: dict[int, list[float]] = {c: [] for c in levels}
+    probes: dict[int, list[float]] = {c: [] for c in levels}
     for rep in range(REPS):
         for c in levels:
             w = run_pipeline_once(c)
             walls[c].append(w)
-            print(f"rep{rep} cpus={c}: {w:.1f}s", file=sys.stderr, flush=True)
+            # probe the hardware in the SAME contention window as the rep so
+            # host noise hits both the job and its denominator together
+            probes[c].append(hardware_probe(c))
+            print(
+                f"rep{rep} cpus={c}: {w:.1f}s (hw {probes[c][-1]:.2f})",
+                file=sys.stderr, flush=True,
+            )
     best = {c: min(ws) for c, ws in walls.items()}
-
-    hw = {}
-    for c in levels:
-        hw[c] = hardware_probe(c)
+    med = {c: statistics.median(ws) for c, ws in walls.items()}
+    hw = {c: statistics.median(ps) for c, ps in probes.items()}
 
     lines = [
-        "# BENCH/BASELINE — scaling evidence (two parallelism levels)",
+        "# BENCH/SCALING — scaling evidence (two parallelism levels)",
         "",
         "Sandbox proxy for the north_rule's N→4N-executor criterion (no real",
         "cluster): the identical pipeline job — explode → rules QC → interpolate",
@@ -87,12 +95,12 @@ def main():
         "for the same core-count step — vCPUs are SMT/oversubscribed, so the",
         "probe is the attainable ceiling for any job on this box.",
         "",
-        "| parallelism | best wall (s) | points/s | all reps (s) | hw probe (work/s) |",
-        "|---|---|---|---|---|",
+        "| parallelism | best wall (s) | median (s) | points/s (best) | all reps (s) | hw probe (work/s) |",
+        "|---|---|---|---|---|---|",
     ]
     for c in levels:
         lines.append(
-            f"| local[{c}] | {best[c]:.1f} | {POINTS/best[c]:,.0f} | "
+            f"| local[{c}] | {best[c]:.1f} | {med[c]:.1f} | {POINTS/best[c]:,.0f} | "
             + ", ".join(f"{w:.1f}" for w in walls[c])
             + f" | {hw[c]:.2f} |"
         )
@@ -100,11 +108,12 @@ def main():
     for lo, hi in PAIRS:
         ratio = hi / lo
         eff = (best[lo] / best[hi]) / ratio
+        eff_med = (med[lo] / med[hi]) / ratio
         hw_eff = (hw[hi] / hw[lo]) / ratio
         rel = eff / hw_eff if hw_eff else float("nan")
         lines += [
             f"**local[{lo}] → local[{hi}] (×{ratio:.0f}): pipeline scaling efficiency = "
-            f"{eff:.2f}**; hardware ceiling from the spin probe = {hw_eff:.2f}; "
+            f"{eff:.2f} (min) / {eff_med:.2f} (median)**; hardware ceiling from the spin probe = {hw_eff:.2f}; "
             f"pipeline achieves **{rel:.0%} of the hardware's own scaling** "
             f"(target ≥ 0.8 of ideal on real multi-executor hardware).",
             "",
@@ -117,9 +126,9 @@ def main():
         "doc_ids (hash-partitioned), with no driver-side loops in the job.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"best": best, "hw": hw}))
+    print(json.dumps({"best": best, "median": med, "hw": hw}))
 
 
 if __name__ == "__main__":
