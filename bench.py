@@ -99,12 +99,37 @@ def main():
         alpha=0.0001, threshold_min=0.25, widen=1, pdq=(1, 1, 0),
     )
 
-    mode = os.environ.get("BENCH_MODE", "fused")
+    # fused_cells = token arrays straight into the per-series kernel, first
+    # rollup tier materialized inside it (see fused_tokens_to_cells); the
+    # exploded "fused" and JVM-window "native" strategies remain selectable
+    mode = os.environ.get("BENCH_MODE", "fused_cells")
 
     def run_once(tok_df):
         # 4 partitions per core: stragglers (series with many correction
         # events) smooth out instead of stalling every stage barrier
-        long_df = explode_tokens(repartition_series(tok_df, 4 * max(cpus, 8)))
+        nparts = 4 * max(cpus, 8)
+        if mode == "fused_cells":
+            # bandwidth-optimal: int32 token arrays through the exchange,
+            # finished 15min cells out of the kernel (no explode, no
+            # per-point cache, no post-kernel aggregation exchange)
+            from pyhydroqc_spark.operators.fused import fused_tokens_to_cells
+
+            fin = fused_tokens_to_cells(
+                repartition_series(tok_df, nparts), params,
+                tier_seconds=sorted(rollup_mod.DEFAULT_TIERS)[0],
+                arima_order=(1, 1, 0),
+            ).cache()
+            total = fin.count()
+            agg_ = fin
+            caches = [fin]
+            for t in sorted(rollup_mod.DEFAULT_TIERS)[1:]:
+                agg_ = rollup_mod.rollup_from_rollup(agg_.drop("tier"), t).cache()
+                total += agg_.count()
+                caches.append(agg_)
+            for c in caches:
+                c.unpersist()
+            return total
+        long_df = explode_tokens(repartition_series(tok_df, nparts))
         if mode == "fused":
             from pyhydroqc_spark.operators.fused import fused_qc_correct
 

@@ -166,6 +166,110 @@ def fused_series_kernel(
     }
 
 
+def fused_tokens_to_cells(
+    tok_df: DataFrame,
+    params: SeriesParams | None = None,
+    tier_seconds: int = 900,
+    arima_order=(1, 1, 0),
+    t0=None,
+    cadence_s: int | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    key: str = SERIES_KEY,
+) -> DataFrame:
+    """Token arrays in → FINISHED first-tier rollup cells out, one pass.
+
+    The bandwidth-optimal physical strategy for the token table: instead of
+    exploding to (doc_id, pos, ts, value) rows (≈40 B/point through the
+    repartition exchange) and re-aggregating after the kernel (another
+    exchange), the int32 token arrays (4 B/point) flow straight into the
+    per-series kernel, which dequantizes, runs QC→detect→correct, and
+    reduces to (doc_id, bucket) cells via ``np.*.reduceat`` before anything
+    crosses back. Each input row is a COMPLETE series (the token-table
+    contract, `collapse_to_tokens`), so the emitted cells are final — no
+    post-aggregation shuffle; coarser tiers re-aggregate these cells.
+    Output matches ``rollup_points(fused_qc_correct(explode_tokens(tok)))``
+    (cnt=0 cells carry NULL aggregates, like count/sum/min/max over an
+    all-NULL bucket).
+    """
+    from ..datagen import CADENCE_S, T0, VAL_HI, VAL_LO
+    from ..quantize import SENTINEL, TOKEN_MAX
+    from pyspark.sql.types import LongType, StringType, TimestampType
+
+    p = params or DEFAULT_PARAMS
+    cadence_s = cadence_s or CADENCE_S
+    lo = VAL_LO if lo is None else lo
+    hi = VAL_HI if hi is None else hi
+    t0_epoch = int(pd.Timestamp(t0 or T0).timestamp())
+    key_type = tok_df.schema[key].dataType
+
+    schema = StructType(
+        [
+            StructField(key, key_type, False),
+            StructField("bucket_start", TimestampType(), False),
+            StructField("cnt", LongType(), False),
+            StructField("sum_val", DoubleType(), True),
+            StructField("avg_val", DoubleType(), True),
+            StructField("min_val", DoubleType(), True),
+            StructField("max_val", DoubleType(), True),
+            StructField("tier", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            keys, buckets, cnts, sums, mins, maxs = [], [], [], [], [], []
+            for doc_id, toks in zip(pdf[key], pdf["tokens"]):
+                tok = np.asarray(toks, dtype=np.int64)
+                x = np.where(
+                    tok == SENTINEL,
+                    np.nan,
+                    lo + tok.astype(np.float64) / TOKEN_MAX * (hi - lo),
+                )
+                n = len(x)
+                if n == 0:
+                    continue
+                epochs = t0_epoch + np.arange(n, dtype=np.int64) * cadence_s
+                out = fused_series_kernel(
+                    x, pd.DatetimeIndex(pd.to_datetime(epochs, unit="s")), p, arima_order
+                )
+                v = out["det_cor"]
+                bucket = (epochs // tier_seconds) * tier_seconds
+                starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+                valid = np.isfinite(v)
+                cnt = np.add.reduceat(valid.astype(np.int64), starts)
+                s = np.add.reduceat(np.where(valid, v, 0.0), starts)
+                mn = np.minimum.reduceat(np.where(valid, v, np.inf), starts)
+                mx = np.maximum.reduceat(np.where(valid, v, -np.inf), starts)
+                empty = cnt == 0
+                keys.append(np.full(len(starts), doc_id, dtype=object))
+                buckets.append(bucket[starts])
+                cnts.append(cnt)
+                sums.append(np.where(empty, np.nan, s))
+                mins.append(np.where(empty, np.nan, mn))
+                maxs.append(np.where(empty, np.nan, mx))
+            if not keys:
+                continue
+            cnt = np.concatenate(cnts)
+            s = np.concatenate(sums)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                avg = s / cnt
+            yield pd.DataFrame(
+                {
+                    key: np.concatenate(keys),
+                    "bucket_start": pd.to_datetime(np.concatenate(buckets), unit="s"),
+                    "cnt": cnt,
+                    "sum_val": s,
+                    "avg_val": avg,
+                    "min_val": np.concatenate(mins),
+                    "max_val": np.concatenate(maxs),
+                    "tier": np.int32(tier_seconds),
+                }
+            )
+
+    return tok_df.select(key, "tokens").mapInPandas(gen, schema=schema)
+
+
 def fused_qc_correct(
     df: DataFrame,
     params: SeriesParams | None = None,

@@ -106,3 +106,71 @@ def test_fused_spark_matches_native_chain(spark):
     assert fz["detected_event"].tolist() == nat_det["detected_event"].tolist()
     np.testing.assert_allclose(fz["det_cor"], nat_cor["det_cor"], atol=1e-9, equal_nan=True)
     assert fz["corrected"].tolist() == nat_cor["corrected"].tolist()
+
+
+def test_fused_tokens_to_cells_matches_exploded_path(spark):
+    """The bandwidth-optimal path (token arrays in, finished 15min cells
+    out) must equal explode → fused_qc_correct → rollup_points exactly."""
+    from pyhydroqc_spark.datagen import gen_token_table
+    from pyhydroqc_spark.ingest import explode_tokens
+    from pyhydroqc_spark.operators.rollup import rollup_points
+
+    pdf = gen_token_table(n_series=3, n_tok=900, seed=4)
+    tok = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = (
+        fused.fused_tokens_to_cells(tok, P, tier_seconds=900)
+        .orderBy("doc_id", "bucket_start")
+        .toPandas()
+    )
+    base = fused.fused_qc_correct(explode_tokens(tok), P)
+    exp = (
+        rollup_points(
+            base.select("doc_id", "ts", "pos", "det_cor"), 900, value_col="det_cor"
+        )
+        .orderBy("doc_id", "bucket_start")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["bucket_start"].tolist() == exp["bucket_start"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    for c in ["sum_val", "avg_val", "min_val", "max_val"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float),
+            atol=1e-9, equal_nan=True,
+        )
+
+
+def test_fused_cells_coarser_tiers_compose(spark):
+    """1h/1d re-aggregated from the kernel's 15min cells equal the tiers
+    built from the exploded path."""
+    from pyhydroqc_spark.datagen import gen_token_table
+    from pyhydroqc_spark.ingest import explode_tokens
+    from pyhydroqc_spark.operators.rollup import rollup_from_rollup, rollup_points
+
+    pdf = gen_token_table(n_series=2, n_tok=700, seed=8)
+    tok = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    cells = fused.fused_tokens_to_cells(tok, P, tier_seconds=900)
+    got = (
+        rollup_from_rollup(cells.drop("tier"), 86400)
+        .orderBy("doc_id", "bucket_start")
+        .toPandas()
+    )
+    base = fused.fused_qc_correct(explode_tokens(tok), P)
+    exp = (
+        rollup_points(
+            base.select("doc_id", "ts", "pos", "det_cor"), 86400, value_col="det_cor"
+        )
+        .orderBy("doc_id", "bucket_start")
+        .toPandas()
+    )
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    for c in ["sum_val", "avg_val", "min_val", "max_val"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float),
+            atol=1e-9, equal_nan=True,
+        )
