@@ -334,6 +334,20 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    from pyhydroqc_spark.textops import ann
+
+    emb = _emb(spark, sf_dir)
+    out = ann.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, nlist=16, nprobe=4, dim=64
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from pyhydroqc_spark.textops import quality
 
@@ -488,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_ngram": q_jaccard_ngram,
         "embed_dup_pairs": q_embed_dup_pairs,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -824,6 +839,38 @@ SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY q.qid
            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rank
   FROM embeddings e, q WHERE e.vec_id != q.qid
+) WHERE rank <= 10
+"""
+
+    # IVF-flat with hash-derived centroids: one cell per vector (argmin of
+    # |c|^2 - 2*v.c, ties to lower cell), query probes 4 nearest cells
+    sql["ivf_topk"] = """
+WITH cents AS (
+  SELECT c, list_transform(range(0, 64), d ->
+    CAST(('0x' || substr(md5('ivf|' || CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS cv
+  FROM (SELECT unnest(range(0, 16)) AS c) cs
+), emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), dists AS (
+  SELECT vec_id, e, c,
+         list_dot_product(cv, cv) - 2 * list_dot_product(e, cv) AS d
+  FROM emb CROSS JOIN cents
+), asg AS (
+  SELECT vec_id, e, c AS cell FROM (
+    SELECT vec_id, e, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dists) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, e AS qe, c AS cell FROM (
+    SELECT vec_id, e, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dists WHERE vec_id < 5) WHERE rn <= 4
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id) AS rank
+  FROM qprobe q JOIN asg a ON a.cell = q.cell AND a.vec_id != q.query_id
 ) WHERE rank <= 10
 """
 

@@ -107,6 +107,100 @@ def bucket_ids(vec_col, planes: list[list[float]]):
     return key
 
 
+def ivf_centroids(dim: int, nlist: int) -> list[list[float]]:
+    """Hash-derived coarse-quantizer centroids, uniform in [-1, 1):
+    component (c, d) = md5_60(f"ivf|{c}|{d}") / 2^59 - 1 — deterministic and
+    replayable in any SQL engine with md5 (no k-means iterations, so the
+    partitioning itself is oracle-checkable; plug a trained codebook in via
+    the ``centroids`` argument of ``ivf_topk`` for production recall)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"ivf|{c}|{d}".encode()).hexdigest()[:15], 16) / 2.0**59
+            - 1.0
+            for d in range(dim)
+        ]
+        for c in range(nlist)
+    ]
+
+
+def _cell_dists(vec_col, cents: list[list[float]]):
+    """array<struct(d, cell)>: d = |c|² − 2·v·c (same argmin as L2², the
+    |v|² term is constant per vector). Python-sum norm keeps the literal's
+    summation order identical to a sequential SQL dot product."""
+    entries = []
+    for i, c in enumerate(cents):
+        cnorm = 0.0
+        for x in c:
+            cnorm += x * x
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(
+            F.struct(
+                (F.lit(cnorm) - 2.0 * _dot(F.col(vec_col), carr)).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: (query_id, neighbor_id, cosine, rank).
+
+    Each vector is assigned to its nearest of ``nlist`` coarse centroids
+    (one cell per vector — an inverted file); a query probes its ``nprobe``
+    nearest cells and reranks those candidates exactly. The cell join
+    replaces the cross join: at 10^9 vectors the per-query candidate set is
+    ~nprobe/nlist of the data, and the assignment is a pure column
+    expression computed once (persist or write it as a partition column in
+    production). Ties in cell assignment break toward the lower cell id on
+    both engines (struct min on (d, cell))."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = centroids or ivf_centroids(dim, nlist)
+
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        F.array_min(_cell_dists(vec_col, cents))["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_dists(vec_col, cents)), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cand = base.join(F.broadcast(q), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("__v"), F.col("__q")) / (_norm(F.col("__v")) * _norm(F.col("__q"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source):
     if dim is None:
         dim = len(df.select(vec_col).first()[0])

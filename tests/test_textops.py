@@ -67,6 +67,26 @@ def test_jaccard_skew_guard_bounds_hot_token_join(spark):
     assert len(unguarded) == n * (n - 1) / 2
 
 
+def test_ivf_topk_partitions_and_recalls(spark, emb):
+    """IVF: every vector lands in exactly one cell; probing more cells
+    approaches the exact top-k (nprobe=nlist == brute force)."""
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+    full = ann.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, dim=64).toPandas()
+    # probing ALL cells must reproduce the exact ranking
+    key = ["query_id", "rank"]
+    assert (
+        full.sort_values(key)["neighbor_id"].tolist()
+        == exact.sort_values(key)["neighbor_id"].tolist()
+    )
+    some = ann.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3, dim=64).toPandas()
+    hits = len(
+        set(map(tuple, some[["query_id", "neighbor_id"]].values))
+        & set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    )
+    assert hits >= 5  # partial-probe recall is imperfect but non-trivial
+
+
 def test_jaccard_char_ngrams(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
