@@ -1,0 +1,173 @@
+"""Physical-plan audit: assert the plans are the ones we designed for.
+
+For each audited operator this captures `.explain("formatted")` and checks
+structural properties — small sides broadcast (no accidental
+SortMergeJoin/CartesianProduct), filters pushed to the parquet scan,
+columns pruned to what the query needs, the expected number of exchanges.
+Failures exit non-zero; PLANS.md records the checks plus plan excerpts so
+regressions in plan shape are reviewable, not just runtime regressions.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def fmt(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def main():
+    import __spark_entry__ as entry
+    from pyhydroqc_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    report: list[str] = [
+        "# PLANS — physical-plan audit",
+        "",
+        f"Captured via `.explain('formatted')` on sf_dir={SF_DIR}",
+        "(`python tools/plan_audit.py`). Each check is asserted in CI-style:",
+        "a plan-shape regression fails the script.",
+        "",
+    ]
+    failures: list[str] = []
+
+    def audit(name, df, must=(), must_not=(), note=""):
+        plan = fmt(df)
+        problems = []
+        for pat in must:
+            if not re.search(pat, plan):
+                problems.append(f"MISSING {pat!r}")
+        for pat in must_not:
+            if re.search(pat, plan):
+                problems.append(f"FORBIDDEN {pat!r}")
+        status = "OK" if not problems else "FAIL: " + "; ".join(problems)
+        if problems:
+            failures.append(f"{name}: {status}")
+        print(f"{status:4.60}  {name}", file=sys.stderr)
+        report.append(f"## {name} — {status}")
+        if note:
+            report.append(f"\n{note}\n")
+        report.append("checks: " + "; ".join(
+            [f"must `{m}`" for m in must] + [f"must-not `{m}`" for m in must_not]
+        ))
+        # keep the interesting head of the plan (operator tree, not details)
+        tree = plan.split("\n\n")[0]
+        report.append("\n```\n" + tree[:2000] + "\n```\n")
+
+    # 1. broadcast dimension join: params lookup must never SMJ the facts
+    audit(
+        "params_join (J5)",
+        qs["params_join"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+        note="5-row params dim broadcast against the fact side.",
+    )
+
+    # 2. rollup: partial (map-side) aggregation before the exchange
+    audit(
+        "rollup_15min (A+)",
+        qs["rollup_15min"](spark, SF_DIR),
+        must=[r"partial_count", r"HashAggregate"],
+        note="Catalyst partial+final hash aggregation; the exchange carries "
+        "one row per (series, bucket), not per point.",
+    )
+
+    # 3. column pruning: lang_stats must scan only (lang, n_chars)
+    plan3 = fmt(qs["lang_stats"](spark, SF_DIR))
+    pruned = "ReadSchema" in plan3 and "text" not in re.search(
+        r"ReadSchema: ([^\n]*)", plan3
+    ).group(1)
+    status3 = "OK" if pruned else "FAIL: text column not pruned"
+    if not pruned:
+        failures.append("lang_stats pruning")
+    print(f"{status3:4.60}  lang_stats column pruning", file=sys.stderr)
+    report.append(f"## lang_stats column pruning — {status3}")
+    report.append(
+        "\nReadSchema: " + re.search(r"ReadSchema: ([^\n]*)", plan3).group(1) + "\n"
+    )
+
+    # 4. filter pushdown: ann query side (vec_id < 5) reaches the scan
+    plan4 = fmt(qs["ann_topk"](spark, SF_DIR))
+    pushed = re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,5\)", plan4)
+    status4 = "OK" if pushed else "FAIL: vec_id<5 not pushed to scan"
+    if not pushed:
+        failures.append("ann_topk pushdown")
+    print(f"{status4:4.60}  ann_topk filter pushdown", file=sys.stderr)
+    report.append(f"## ann_topk filter pushdown — {status4}")
+    report.append(
+        "\nThe exact path is a deliberate broadcast nested-loop (tiny query "
+        "side × all vectors); the scale paths are below.\n"
+    )
+
+    # 5. LSH/IVF: bucket/cell equi-joins, never a cartesian product
+    audit(
+        "lsh_topk (scale ANN)",
+        qs["lsh_topk"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note="candidates come from the (table, bucket) equi-join.",
+    )
+    audit(
+        "ivf_topk (scale ANN)",
+        qs["ivf_topk"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note="candidates come from the probed-cell equi-join.",
+    )
+    audit(
+        "embed_dup_pairs (near-dup)",
+        qs["embed_dup_pairs"](spark, SF_DIR),
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note="pairs come from the (table, bucket) self-equi-join.",
+    )
+
+    # 6. dedup: one shuffle on the digest, no join at all
+    audit(
+        "dedup_exact",
+        qs["dedup_exact"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"Join"],
+    )
+
+    # 7. the fused headline path: token arrays -> kernel -> cells
+    from pyhydroqc_spark.datagen import gen_token_table
+    from pyhydroqc_spark.ingest import repartition_series
+    from pyhydroqc_spark.operators.fused import fused_tokens_to_cells
+
+    tok = spark.createDataFrame(
+        gen_token_table(n_series=4, n_tok=800, seed=1),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    audit(
+        "fused_tokens_to_cells (headline)",
+        fused_tokens_to_cells(repartition_series(tok, 8)),
+        must=[r"MapInPandas"],
+        must_not=[r"SortMergeJoin", r"Window"],
+        note="ONE exchange (the doc_id repartition of 4 B/pt token arrays), "
+        "then the kernel emits finished first-tier cells — no window "
+        "operators, no joins, no post-aggregation.",
+    )
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(report) + "\n")
+    print(f"\n{len(failures)} plan failures -> PLANS.md written", file=sys.stderr)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
