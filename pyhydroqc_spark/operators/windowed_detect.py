@@ -45,7 +45,10 @@ def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
     ts = time_steps
     pred = np.full(n, np.nan)
     lo, hi = (ts, n) if mode == "vanilla" else (ts, n - ts)
-    if hi - lo < ts + 2:
+    # a fully-missing series survives interpolation as all-NaN: no model
+    # (LAPACK raises on non-finite inputs — one bad series must not kill
+    # the job at 10^12-series scale)
+    if hi - lo < ts + 2 or not np.isfinite(x).all():
         return pred
     cols = [x[lo - j - 1 : hi - j - 1] for j in range(ts)]  # x_{t-1}..x_{t-ts}
     if mode == "bidir":
@@ -55,7 +58,10 @@ def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
         X = np.column_stack([np.ones(len(X)), X])
     t = x[lo:hi]
     XtX = X.T @ X + ridge * np.eye(X.shape[1])
-    beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
+    try:
+        beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
+    except np.linalg.LinAlgError:
+        return pred
     pred[lo:hi] = X @ beta
     return pred
 
@@ -201,8 +207,10 @@ def regression_detect_multivar(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([sensor_col, order_col]).reset_index(drop=True)
-        wide = pdf.pivot_table(
-            index=order_col, columns=sensor_col, values="observed", aggfunc="first"
+        # pivot (not pivot_table): an all-NaN sensor column must survive so
+        # its rows still get (NaN) predictions instead of a KeyError
+        wide = pdf.pivot(
+            index=order_col, columns=sensor_col, values="observed"
         ).sort_index()
         sensors = list(wide.columns)
         M = wide.to_numpy(dtype=float)
@@ -214,15 +222,23 @@ def regression_detect_multivar(
         n = M.shape[0]
         lo, hi = (ts, n) if mode == "vanilla" else (ts, n - ts)
         preds = {s: np.full(n, np.nan) for s in sensors}
-        if hi - lo >= ts * len(sensors) + 2:
-            blocks = [M[lo - j - 1 : hi - j - 1, :] for j in range(ts)]
+        # all-missing sensors survive interpolation as all-NaN: exclude
+        # them from the feature block and leave their predictions NaN
+        finite = [j for j in range(M.shape[1]) if np.isfinite(M[:, j]).all()]
+        if finite and hi - lo >= ts * len(finite) + 2:
+            Mf = M[:, finite]
+            blocks = [Mf[lo - j - 1 : hi - j - 1, :] for j in range(ts)]
             if mode == "bidir":
-                blocks += [M[lo + j + 1 : hi + j + 1, :] for j in range(ts)]
+                blocks += [Mf[lo + j + 1 : hi + j + 1, :] for j in range(ts)]
             X = np.column_stack([np.ones(hi - lo)] + blocks)
             XtX = X.T @ X + 1e-3 * np.eye(X.shape[1])
-            for sj, s in enumerate(sensors):
+            for sj in finite:
+                s = sensors[sj]
                 t = M[lo:hi, sj]
-                beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
+                try:
+                    beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
+                except np.linalg.LinAlgError:
+                    continue
                 preds[s][lo:hi] = X @ beta
         pos_ix = {v: i for i, v in enumerate(wide.index)}
         pr = np.array(
