@@ -2,11 +2,14 @@
 
 The Spark-side machinery is real and tested: typed schema, Arrow-batched
 ``mapInPandas`` decode/feature/resize/frame-sample kernels with bounded
-batch memory, partition sizing by byte-weight. The codec calls themselves
-are STUBBED (no image/audio libs in this container): ``decode=`` selects
-the deterministic fake (content-hash-seeded features, stable across runs)
-or the NotImplementedError placeholder a real deployment replaces with
-PIL/ffmpeg.
+batch memory, partition sizing by byte-weight. Codecs (``decode="real"``)
+are REAL for the lib-free formats — P6 PPM and uncompressed 24-bit BMP
+images (bytes+numpy parsers, nearest-neighbor resize, 8×8 grayscale
+features) and PCM WAV audio (stdlib ``wave``, 64-bin log-energy spectrum).
+Compressed formats (JPEG/PNG/MP3/MP4 video) still require PIL/ffmpeg,
+absent from this container: those branches raise NotImplementedError for a
+deployment to swap in. ``decode="fake"`` keeps the deterministic
+content-hash stand-in for plumbing tests.
 
 Schema convention::
 
@@ -36,11 +39,119 @@ from pyspark.sql.types import (
 FEATURE_DIM = 64
 
 
-def real_decode(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-    """Replace with PIL/torchaudio/ffmpeg in deployment."""
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 (binary) PPM → (h, w, 3) uint8. Pure bytes + numpy."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments stripped), then ONE whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    pos += 1  # the single whitespace after maxval
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 (RGB order).
+    Rows are stored bottom-up and padded to 4-byte boundaries."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1]  # BGR -> RGB
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float64 mono waveform in [-1, 1], sample_rate).
+    stdlib ``wave`` + numpy — no external audio libs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"sample width {width} not supported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index maps — pure numpy."""
+    h, w = img.shape[:2]
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ri][:, ci]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """8×8 grayscale thumbnail, [0,1] floats — a deterministic 64-dim
+    embedding (the classic perceptual-hash front end)."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    side = int(FEATURE_DIM**0.5)
+    return (resize_nearest(gray, side, side) / 255.0).astype(np.float32).ravel()
+
+
+def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """64-bin log-energy spectrum (rfft magnitudes pooled into FEATURE_DIM
+    equal bands) — deterministic, numpy-only."""
+    if len(x) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(x))
+    bins = np.array_split(mag, FEATURE_DIM)
+    e = np.array([float(np.sqrt(np.mean(b**2))) if len(b) else 0.0 for b in bins])
+    return np.log1p(e).astype(np.float32)
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Container-sniffing decode → FEATURE_DIM features. REAL for the
+    lib-free formats (P6 PPM / 24-bit BMP images, PCM WAV audio); video
+    and compressed formats (JPEG/PNG/MP3/MP4) still need PIL/ffmpeg and
+    raise — a deployment swaps those branches in."""
+    if payload[:2] == b"P6":
+        return image_features(decode_ppm(payload))
+    if payload[:2] == b"BM":
+        return image_features(decode_bmp(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_features(*decode_wav(payload))
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode='fake' for the deterministic stand-in"
+        f"no lib-free codec for this {kind} payload (magic={payload[:4]!r}); "
+        "deploy with PIL/ffmpeg or use decode='fake' for the stand-in"
     )
 
 

@@ -274,3 +274,83 @@ def test_multimodal_plumbing(spark):
     assert len(plan) == sum(len(range(0, 3000 + i - 1 + 1, 1000)) for i in range(20)) or len(plan) > 0
     with pytest.raises(Exception):
         multimodal.extract_features(df, decode="real").toPandas()
+
+
+def _ppm_bytes(w, h, rgb):
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def _bmp_bytes(w, h, rows_rgb):
+    """Minimal 24-bit BI_RGB BMP, bottom-up rows, 4-byte padded."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for r in reversed(rows_rgb):  # bottom-up
+        row = b"".join(bytes([b, g, rr]) for rr, g, b in r)  # BGR on disk
+        raster += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + dib + raster
+
+
+def _wav_bytes(freq=1000.0, rate=8000, n=4096):
+    import io
+    import wave
+
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _tone_band(freq, rate, n):
+    """Which of the FEATURE_DIM np.array_split bands holds rfft bin of freq."""
+    rbin = round(freq * n / rate)
+    sizes = [len(c) for c in np.array_split(np.zeros(n // 2 + 1), multimodal.FEATURE_DIM)]
+    edges = np.cumsum(sizes)
+    return int(np.searchsorted(edges, rbin, side="right"))
+
+
+def test_real_codecs_decode_libfree_formats():
+    # PPM: 2x2 image, distinct corner colors, round-trips exactly
+    rgb = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    img = multimodal.decode_ppm(_ppm_bytes(2, 2, rgb))
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[1, 1].tolist() == [255, 255, 255]
+    # BMP: same pixels through the bottom-up BGR padded format
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    bmp = multimodal.decode_bmp(_bmp_bytes(2, 2, rows))
+    np.testing.assert_array_equal(bmp, np.array(rows, dtype=np.uint8))
+    # WAV: a 1 kHz tone's spectral energy concentrates in the right band
+    x, rate = multimodal.decode_wav(_wav_bytes())
+    assert rate == 8000 and len(x) == 4096 and np.abs(x).max() < 1.0
+    feats = multimodal.audio_features(x, rate)
+    assert int(np.argmax(feats)) == _tone_band(1000.0, rate, len(x))
+
+
+def test_real_decode_through_spark(spark):
+    white = _ppm_bytes(4, 4, [255] * 48)
+    black = _ppm_bytes(4, 4, [0] * 48)
+    rows = [
+        ("white", white, "image", 0),
+        ("black", black, "image", 0),
+        ("tone", _wav_bytes(), "audio", 512),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, media binary, kind string, duration_ms int"
+    )
+    feats = (
+        multimodal.extract_features(df, decode="real")
+        .toPandas()
+        .set_index("media_id")["features"]
+    )
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats)
+    assert np.allclose(feats["white"], 1.0) and np.allclose(feats["black"], 0.0)
+    assert int(np.argmax(feats["tone"])) == _tone_band(1000.0, 8000, 4096)
