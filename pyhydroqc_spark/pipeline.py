@@ -108,6 +108,35 @@ def _process_partition(
     spark, tok, part, p, tiers, tier_tables, comp_table,
     arima_order, with_model_detect, n_partitions, mode="native",
 ) -> int:
+    if mode == "fused_cells":
+        # bandwidth-optimal: token arrays straight into the kernel, finished
+        # finest-tier cells out (operators/fused.py:fused_tokens_to_cells).
+        # Per-point values never leave the kernel, so the per-point blob
+        # encoder can't run — use mode="fused" when compression is on.
+        if comp_table is not None:
+            raise ValueError(
+                "mode='fused_cells' emits tier cells only; use mode='fused' "
+                "with with_compression=True"
+            )
+        from .operators.fused import fused_tokens_to_cells
+
+        tiers_sorted = sorted(tiers)
+        cells = fused_tokens_to_cells(
+            repartition_series(tok, n_partitions), p,
+            tier_seconds=tiers_sorted[0], arima_order=arima_order,
+        ).cache()
+        try:
+            total = 0
+            agg = cells
+            for t in tiers_sorted:
+                if t != tiers_sorted[0]:
+                    agg = rollup_from_rollup(agg.drop("tier"), t)
+                n = agg.count()
+                tier_tables[t].overwrite_partition(agg, part)
+                total += n
+            return total
+        finally:
+            cells.unpersist()
     long_df = explode_tokens(repartition_series(tok, n_partitions))
     if mode == "fused":
         # single-pass per-series kernel (operators/fused.py): one shuffle,

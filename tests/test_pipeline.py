@@ -134,19 +134,30 @@ def test_retention_sweep(spark, tmp_path):
     assert not any(d.startswith("src0") for d in fin["doc_id"])
 
 
-def test_fused_mode_equals_native(spark, tmp_path):
-    """pipeline(mode='fused') produces identical tier tables to native."""
+def test_fused_modes_equal_native(spark, tmp_path):
+    """pipeline modes 'fused' and 'fused_cells' produce identical tier
+    tables to the native chain (fused_cells runs without the per-point
+    blob encoder — compression off for all three for a fair compare)."""
     outs = {}
-    for i, mode in enumerate(["native", "fused"]):
+    for mode in ["native", "fused", "fused_cells"]:
         tmp = str(tmp_path / mode)
         tbl, _ = _input_table(spark, tmp, n_series=4, n_tok=800, seed=5)
         out = os.path.join(tmp, "out")
         P.run_pipeline(spark, tbl, out, PARAMS, arima_order=(1, 1, 0),
-                       with_model_detect=True, mode=mode)
+                       with_model_detect=True, with_compression=False, mode=mode)
         outs[mode] = {t: _read_tier(spark, out, t) for t in (900, 3600, 86400)}
     for t in (900, 3600, 86400):
-        pd.testing.assert_frame_equal(
-            outs["native"][t].reset_index(drop=True),
-            outs["fused"][t].reset_index(drop=True),
-            check_exact=False, atol=1e-9,
-        )
+        for mode in ["fused", "fused_cells"]:
+            pd.testing.assert_frame_equal(
+                outs["native"][t].reset_index(drop=True),
+                outs[mode][t].reset_index(drop=True),
+                check_exact=False, atol=1e-9,
+            )
+
+
+def test_fused_cells_rejects_compression(spark, tmp_path):
+    tmp = str(tmp_path)
+    tbl, _ = _input_table(spark, tmp, n_series=2, n_tok=800, seed=5)
+    with pytest.raises(Exception, match="fused_cells"):
+        P.run_pipeline(spark, tbl, os.path.join(tmp, "out"), PARAMS,
+                       with_compression=True, mode="fused_cells")
