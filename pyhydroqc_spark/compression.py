@@ -272,9 +272,7 @@ def decode_series_blob(blob: bytes):
     return toks, ts
 
 
-def encode_series_df(df, value_col: str = "det_cor"):
-    """(doc_id, ts, pos, value) → (doc_id, n_tok, blob): re-quantize the
-    corrected series with the shared quantizer and compress per series."""
+def _encode_keyed_df(df, value_col: str, ts_col: str, order_col: str):
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
@@ -295,12 +293,27 @@ def encode_series_df(df, value_col: str = "det_cor"):
     )
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
+        pdf = pdf.sort_values(order_col)
         toks = quantize(pdf[value_col].to_numpy(dtype=float), VAL_LO, VAL_HI)
-        ts = pd.DatetimeIndex(pdf["ts"]).asi8 // 1_000_000_000
+        ts = pd.DatetimeIndex(pdf[ts_col]).asi8 // 1_000_000_000
         blob = encode_series_blob(toks, ts)
         return pd.DataFrame(
             {"doc_id": [pdf["doc_id"].iloc[0]], "n_tok": [len(toks)], "blob": [blob]}
         )
 
     return df.groupBy("doc_id").applyInPandas(enc, schema=schema)
+
+
+def encode_series_df(df, value_col: str = "det_cor"):
+    """(doc_id, ts, pos, value) → (doc_id, n_tok, blob): re-quantize the
+    corrected series with the shared quantizer and compress per series."""
+    return _encode_keyed_df(df, value_col, ts_col="ts", order_col="pos")
+
+
+def encode_tier_df(df, value_col: str = "avg_val"):
+    """Rollup cells → (doc_id, n_tok, blob) per series — the north-star
+    "compression for each retention tier": delta-of-delta on the bucket
+    timestamps (regular cadence ≈ constant deltas ≈ ~0 bits/bucket) +
+    Gorilla-style XOR packing of the quantized aggregate values. NULL
+    aggregates (cnt=0 cells) quantize to the sentinel and round-trip."""
+    return _encode_keyed_df(df, value_col, ts_col="bucket_start", order_col="bucket_start")

@@ -65,7 +65,19 @@ def run_pipeline(
     tier_tables = {
         t: SnapshotTable(os.path.join(out_root, f"rollup_{t}s")) for t in tiers
     }
-    comp_table = SnapshotTable(os.path.join(out_root, "compressed")) if with_compression else None
+    # north_rule compression applies per retention tier; the point-level
+    # blob table additionally keeps the full corrected series (native/fused
+    # modes only — fused_cells never materializes per-point rows)
+    comp_table = (
+        SnapshotTable(os.path.join(out_root, "compressed"))
+        if with_compression and mode != "fused_cells"
+        else None
+    )
+    tier_comp_tables = (
+        {t: SnapshotTable(os.path.join(out_root, f"comp_tier_{t}s")) for t in tiers}
+        if with_compression
+        else None
+    )
 
     res = PipelineResult()
     in_snap = input_table.current_snapshot_id()
@@ -91,6 +103,7 @@ def run_pipeline(
         n_points = _process_partition(
             spark, tok, part, p, tiers, tier_tables, comp_table,
             arima_order, with_model_detect, n_partitions, mode,
+            tier_comp_tables,
         )
         ckpt.write(
             run_id, stage, part, in_snap, n_points,
@@ -107,17 +120,13 @@ def run_pipeline(
 def _process_partition(
     spark, tok, part, p, tiers, tier_tables, comp_table,
     arima_order, with_model_detect, n_partitions, mode="native",
+    tier_comp_tables=None,
 ) -> int:
     if mode == "fused_cells":
         # bandwidth-optimal: token arrays straight into the kernel, finished
         # finest-tier cells out (operators/fused.py:fused_tokens_to_cells).
-        # Per-point values never leave the kernel, so the per-point blob
-        # encoder can't run — use mode="fused" when compression is on.
-        if comp_table is not None:
-            raise ValueError(
-                "mode='fused_cells' emits tier cells only; use mode='fused' "
-                "with with_compression=True"
-            )
+        # Per-tier blob compression still applies; the per-point blob table
+        # needs per-point rows, i.e. mode="fused"/"native".
         from .operators.fused import fused_tokens_to_cells
 
         tiers_sorted = sorted(tiers)
@@ -133,6 +142,7 @@ def _process_partition(
                     agg = rollup_from_rollup(agg.drop("tier"), t)
                 n = agg.count()
                 tier_tables[t].overwrite_partition(agg, part)
+                _commit_tier_blobs(agg, part, t, tier_comp_tables)
                 total += n
             return total
         finally:
@@ -161,10 +171,22 @@ def _process_partition(
         detected.select("doc_id", "pos", "ts", "observed", "detected_event"),
         "observed", "detected_event", arima_order=arima_order,
     )
-    return _commit_rollups(corrected, part, tiers, tier_tables, comp_table)
+    return _commit_rollups(
+        corrected, part, tiers, tier_tables, comp_table, tier_comp_tables
+    )
 
 
-def _commit_rollups(corrected, part, tiers, tier_tables, comp_table) -> int:
+def _commit_tier_blobs(agg, part, t, tier_comp_tables) -> None:
+    if tier_comp_tables is None:
+        return
+    from .compression import encode_tier_df
+
+    tier_comp_tables[t].overwrite_partition(encode_tier_df(agg), part)
+
+
+def _commit_rollups(
+    corrected, part, tiers, tier_tables, comp_table, tier_comp_tables=None
+) -> int:
     slim = corrected.select("doc_id", "ts", "pos", "det_cor").cache()
     finest = None
     try:
@@ -177,6 +199,7 @@ def _commit_rollups(corrected, part, tiers, tier_tables, comp_table) -> int:
                 agg = rollup_from_rollup(agg.drop("tier"), t)
             n = agg.count()
             tier_tables[t].overwrite_partition(agg, part)
+            _commit_tier_blobs(agg, part, t, tier_comp_tables)
             total += n
         if comp_table is not None:
             from .compression import encode_series_df

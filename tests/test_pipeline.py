@@ -155,9 +155,31 @@ def test_fused_modes_equal_native(spark, tmp_path):
             )
 
 
-def test_fused_cells_rejects_compression(spark, tmp_path):
+def test_tier_blob_compression_roundtrips(spark, tmp_path):
+    """north_rule: compression per retention tier — every tier table gets a
+    companion blob table whose delta-of-delta timestamps and quantized
+    values round-trip to the stored cells (fused_cells mode included; the
+    per-point blob table exists only for modes with per-point rows)."""
+    from pyhydroqc_spark.compression import decode_series_blob
+    from pyhydroqc_spark.datagen import VAL_HI, VAL_LO
+    from pyhydroqc_spark.quantize import quantize
+
     tmp = str(tmp_path)
     tbl, _ = _input_table(spark, tmp, n_series=2, n_tok=800, seed=5)
-    with pytest.raises(Exception, match="fused_cells"):
-        P.run_pipeline(spark, tbl, os.path.join(tmp, "out"), PARAMS,
-                       with_compression=True, mode="fused_cells")
+    out = os.path.join(tmp, "out")
+    P.run_pipeline(spark, tbl, out, PARAMS, with_compression=True,
+                   with_model_detect=False, mode="fused_cells")
+    assert not os.path.exists(os.path.join(out, "compressed"))
+    for tier in (900, 3600, 86400):
+        cells = _read_tier(spark, out, tier)
+        blobs = (
+            SnapshotTable(os.path.join(out, f"comp_tier_{tier}s"))
+            .read(spark).toPandas().set_index("doc_id")
+        )
+        for doc, grp in cells.groupby("doc_id"):
+            toks, ts = decode_series_blob(bytes(blobs.loc[doc, "blob"]))
+            grp = grp.sort_values("bucket_start")
+            exp_ts = (grp["bucket_start"].astype("int64") // 10**9).to_numpy()
+            np.testing.assert_array_equal(ts, exp_ts)
+            exp_toks = quantize(grp["avg_val"].to_numpy(dtype=float), VAL_LO, VAL_HI)
+            np.testing.assert_array_equal(toks, exp_toks)
