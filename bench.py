@@ -109,26 +109,19 @@ def main():
         # events) smooth out instead of stalling every stage barrier
         nparts = 4 * max(cpus, 8)
         if mode == "fused_cells":
-            # bandwidth-optimal: int32 token arrays through the exchange,
-            # finished 15min cells out of the kernel (no explode, no
-            # per-point cache, no post-kernel aggregation exchange)
+            # bandwidth-optimal: int32 token arrays through the one exchange,
+            # finished cells for ALL tiers out of the kernel (no explode, no
+            # per-point cache, no re-aggregation shuffles) — the whole job is
+            # a single action whose only wide edges are the doc_id
+            # repartition and a 3-row-per-partition tier count
             from pyhydroqc_spark.operators.fused import fused_tokens_to_cells
 
-            fin = fused_tokens_to_cells(
+            cells = fused_tokens_to_cells(
                 repartition_series(tok_df, nparts), params,
-                tier_seconds=sorted(rollup_mod.DEFAULT_TIERS)[0],
+                tier_seconds=tuple(sorted(rollup_mod.DEFAULT_TIERS)),
                 arima_order=(1, 1, 0),
-            ).cache()
-            total = fin.count()
-            agg_ = fin
-            caches = [fin]
-            for t in sorted(rollup_mod.DEFAULT_TIERS)[1:]:
-                agg_ = rollup_mod.rollup_from_rollup(agg_.drop("tier"), t).cache()
-                total += agg_.count()
-                caches.append(agg_)
-            for c in caches:
-                c.unpersist()
-            return total
+            )
+            return sum(r["count"] for r in cells.groupBy("tier").count().collect())
         long_df = explode_tokens(repartition_series(tok_df, nparts))
         if mode == "fused":
             from pyhydroqc_spark.operators.fused import fused_qc_correct

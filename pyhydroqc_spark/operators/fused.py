@@ -169,7 +169,7 @@ def fused_series_kernel(
 def fused_tokens_to_cells(
     tok_df: DataFrame,
     params: SeriesParams | None = None,
-    tier_seconds: int = 900,
+    tier_seconds: int | tuple = 900,
     arima_order=(1, 1, 0),
     t0=None,
     cadence_s: int | None = None,
@@ -177,7 +177,7 @@ def fused_tokens_to_cells(
     hi: float | None = None,
     key: str = SERIES_KEY,
 ) -> DataFrame:
-    """Token arrays in → FINISHED first-tier rollup cells out, one pass.
+    """Token arrays in → FINISHED rollup cells out, one pass.
 
     The bandwidth-optimal physical strategy for the token table: instead of
     exploding to (doc_id, pos, ts, value) rows (≈40 B/point through the
@@ -187,14 +187,19 @@ def fused_tokens_to_cells(
     reduces to (doc_id, bucket) cells via ``np.*.reduceat`` before anything
     crosses back. Each input row is a COMPLETE series (the token-table
     contract, `collapse_to_tokens`), so the emitted cells are final — no
-    post-aggregation shuffle; coarser tiers re-aggregate these cells.
-    Output matches ``rollup_points(fused_qc_correct(explode_tokens(tok)))``
+    post-aggregation shuffle.
+
+    ``tier_seconds`` may be one tier or a tuple of tiers: with a tuple the
+    kernel emits EVERY tier's cells in the same pass (distinguished by the
+    ``tier`` column) — the coarser-tier re-aggregation shuffles disappear
+    entirely (select the tier by filter, a narrow op). Output matches
+    ``rollup_points(fused_qc_correct(explode_tokens(tok)), t)`` per tier
     (cnt=0 cells carry NULL aggregates, like count/sum/min/max over an
     all-NULL bucket).
     """
     from ..datagen import CADENCE_S, T0, VAL_HI, VAL_LO
     from ..quantize import SENTINEL, TOKEN_MAX
-    from pyspark.sql.types import LongType, StringType, TimestampType
+    from pyspark.sql.types import LongType, TimestampType
 
     p = params or DEFAULT_PARAMS
     cadence_s = cadence_s or CADENCE_S
@@ -202,6 +207,11 @@ def fused_tokens_to_cells(
     hi = VAL_HI if hi is None else hi
     t0_epoch = int(pd.Timestamp(t0 or T0).timestamp())
     key_type = tok_df.schema[key].dataType
+    tiers = (
+        (int(tier_seconds),)
+        if isinstance(tier_seconds, (int, float))
+        else tuple(int(t) for t in tier_seconds)
+    )
 
     schema = StructType(
         [
@@ -218,7 +228,7 @@ def fused_tokens_to_cells(
 
     def gen(batches):
         for pdf in batches:
-            keys, buckets, cnts, sums, mins, maxs = [], [], [], [], [], []
+            keys, buckets, cnts, sums, mins, maxs, tcol = [], [], [], [], [], [], []
             for doc_id, toks in zip(pdf[key], pdf["tokens"]):
                 tok = np.asarray(toks, dtype=np.int64)
                 x = np.where(
@@ -234,20 +244,25 @@ def fused_tokens_to_cells(
                     x, pd.DatetimeIndex(pd.to_datetime(epochs, unit="s")), p, arima_order
                 )
                 v = out["det_cor"]
-                bucket = (epochs // tier_seconds) * tier_seconds
-                starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
                 valid = np.isfinite(v)
-                cnt = np.add.reduceat(valid.astype(np.int64), starts)
-                s = np.add.reduceat(np.where(valid, v, 0.0), starts)
-                mn = np.minimum.reduceat(np.where(valid, v, np.inf), starts)
-                mx = np.maximum.reduceat(np.where(valid, v, -np.inf), starts)
-                empty = cnt == 0
-                keys.append(np.full(len(starts), doc_id, dtype=object))
-                buckets.append(bucket[starts])
-                cnts.append(cnt)
-                sums.append(np.where(empty, np.nan, s))
-                mins.append(np.where(empty, np.nan, mn))
-                maxs.append(np.where(empty, np.nan, mx))
+                vz = np.where(valid, v, 0.0)
+                vmin = np.where(valid, v, np.inf)
+                vmax = np.where(valid, v, -np.inf)
+                for t in tiers:
+                    bucket = (epochs // t) * t
+                    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+                    cnt = np.add.reduceat(valid.astype(np.int64), starts)
+                    s = np.add.reduceat(vz, starts)
+                    mn = np.minimum.reduceat(vmin, starts)
+                    mx = np.maximum.reduceat(vmax, starts)
+                    empty = cnt == 0
+                    keys.append(np.full(len(starts), doc_id, dtype=object))
+                    buckets.append(bucket[starts])
+                    cnts.append(cnt)
+                    sums.append(np.where(empty, np.nan, s))
+                    mins.append(np.where(empty, np.nan, mn))
+                    maxs.append(np.where(empty, np.nan, mx))
+                    tcol.append(np.full(len(starts), t, dtype=np.int32))
             if not keys:
                 continue
             cnt = np.concatenate(cnts)
@@ -263,7 +278,7 @@ def fused_tokens_to_cells(
                     "avg_val": avg,
                     "min_val": np.concatenate(mins),
                     "max_val": np.concatenate(maxs),
-                    "tier": np.int32(tier_seconds),
+                    "tier": np.concatenate(tcol),
                 }
             )
 

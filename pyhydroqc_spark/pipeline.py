@@ -132,14 +132,12 @@ def _process_partition(
         tiers_sorted = sorted(tiers)
         cells = fused_tokens_to_cells(
             repartition_series(tok, n_partitions), p,
-            tier_seconds=tiers_sorted[0], arima_order=arima_order,
+            tier_seconds=tuple(tiers_sorted), arima_order=arima_order,
         ).cache()
         try:
             total = 0
-            agg = cells
             for t in tiers_sorted:
-                if t != tiers_sorted[0]:
-                    agg = rollup_from_rollup(agg.drop("tier"), t)
+                agg = cells.where(F.col("tier") == t)
                 n = agg.count()
                 tier_tables[t].overwrite_partition(agg, part)
                 _commit_tier_blobs(agg, part, t, tier_comp_tables)

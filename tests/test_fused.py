@@ -174,3 +174,39 @@ def test_fused_cells_coarser_tiers_compose(spark):
             got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float),
             atol=1e-9, equal_nan=True,
         )
+
+
+def test_fused_multi_tier_emission_matches_per_tier(spark):
+    """tier_seconds as a tuple: the kernel's per-tier cells equal the
+    per-tier rollups of the exploded path, for every tier at once."""
+    from pyhydroqc_spark.datagen import gen_token_table
+    from pyhydroqc_spark.ingest import explode_tokens
+    from pyhydroqc_spark.operators.rollup import rollup_points
+
+    pdf = gen_token_table(n_series=2, n_tok=900, seed=12)
+    tok = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    cells = fused.fused_tokens_to_cells(
+        tok, P, tier_seconds=(900, 3600, 86400)
+    ).toPandas()
+    base = fused.fused_qc_correct(explode_tokens(tok), P)
+    slim = base.select("doc_id", "ts", "pos", "det_cor")
+    for t in (900, 3600, 86400):
+        got = (
+            cells[cells["tier"] == t]
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            rollup_points(slim, t, value_col="det_cor")
+            .orderBy("doc_id", "bucket_start")
+            .toPandas()
+        )
+        assert got["cnt"].tolist() == exp["cnt"].tolist(), t
+        assert got["bucket_start"].tolist() == exp["bucket_start"].tolist(), t
+        for c in ["sum_val", "avg_val", "min_val", "max_val"]:
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float),
+                atol=1e-9, equal_nan=True,
+            )
