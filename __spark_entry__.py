@@ -231,6 +231,64 @@ def q_drift_ramp(spark, sf_dir):
     return out.select("doc_id", "pos", F.round("ldc", 6).alias("ldc"))
 
 
+T0_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC — synthetic strict cadence
+
+
+def _events_cadenced(spark, sf_dir):
+    """events series re-clocked to a strict 60s cadence (ts' = T0 + 60·pos)
+    so window membership and ordering are tie-free on both engines."""
+    return _events_long(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(T0_EPOCH) + F.col("pos") * 60)
+    )
+
+
+def q_find_gaps(spark, sf_dir):
+    """Calibration gap finder (reference find_gap): per-doc candidate at
+    pos 40, ±2h window, largest-jump + spike rule — the grouped pandas
+    kernel, oracle-checked in SQL."""
+    from pyhydroqc_spark.operators import calibration
+
+    ser = _events_cadenced(spark, sf_dir).withColumnRenamed("value", "observed")
+    cands = ser.where(F.col("pos") == 40).select(
+        "doc_id", F.col("ts").alias("candidate")
+    )
+    out = calibration.find_gaps(ser, cands, hours=2)
+    return out.select(
+        "doc_id",
+        F.round("gap", 6).alias("gap"),
+        ((F.unix_timestamp("end") - T0_EPOCH) / 60).cast("long").alias("end_pos"),
+    )
+
+
+def q_drift_correct(spark, sf_dir):
+    """Chained linear drift correction: two per-doc events sharing a
+    boundary (end of #1 = start of #2), applied by the per-series pandas
+    kernel; the oracle uses the additive closed form."""
+    from pyhydroqc_spark.operators import calibration
+
+    ser = _events_cadenced(spark, sf_dir).withColumnRenamed("value", "observed")
+    docs = ser.select("doc_id").distinct()
+    ev = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.timestamp_seconds(F.lit(T0_EPOCH + 10 * 60)).alias("start"),
+                    F.timestamp_seconds(F.lit(T0_EPOCH + 30 * 60)).alias("end"),
+                    F.lit(-5.0).alias("gap"),
+                ),
+                F.struct(
+                    F.timestamp_seconds(F.lit(T0_EPOCH + 30 * 60)).alias("start"),
+                    F.timestamp_seconds(F.lit(T0_EPOCH + 50 * 60)).alias("end"),
+                    F.lit(3.0).alias("gap"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.start", "e.end", "e.gap")
+    out = calibration.drift_correct(ser, ev, value_col="observed")
+    return out.select("doc_id", "pos", F.round("drift_cor", 6).alias("drift_cor"))
+
+
 def q_tokenize_stats(spark, sf_dir):
     from pyhydroqc_spark.ingest import tokenize_long_table
 
@@ -494,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_filter": q_edge_filter,
         "business_hours": q_business_hours,
         "drift_ramp": q_drift_ramp,
+        "find_gaps": q_find_gaps,
+        "drift_correct": q_drift_correct,
         "tokenize_stats": q_tokenize_stats,
         "params_join": q_params_join,
         "dedup_exact": q_dedup_exact,
@@ -715,6 +775,59 @@ FROM base GROUP BY doc_id
 SELECT doc_id, pos,
        ROUND(CASE WHEN inw THEN value + (-50.0) / (cnt - 1) * i ELSE value END, 6) AS ldc
 FROM r
+"""
+
+    # find_gap semantics (reference calibration.py): within the ±2h window
+    # (= ±120 pos at the synthetic 60s cadence), d = x_t − x_{t−1},
+    # f = x_{t+1} − x_t; at argmax|d| (first on ties): gap = d+f if they
+    # disagree in sign (spike rule) else d; end = pos of argmax|f|
+    sql["find_gaps"] = BASE_SQL + """
+, cd AS (SELECT doc_id FROM base WHERE pos = 40),
+w AS (
+  -- f mirrors pandas shift(-1).diff(): NULL on the window's FIRST row
+  -- (no t-1 for the shifted series) as well as the last
+  SELECT b.doc_id, b.pos,
+         b.value - LAG(b.value) OVER wp AS d,
+         CASE WHEN LAG(b.value) OVER wp IS NULL THEN NULL
+              ELSE LEAD(b.value) OVER wp - b.value END AS f
+  FROM base b JOIN cd ON cd.doc_id = b.doc_id
+  WHERE b.pos BETWEEN 40 - 120 AND 40 + 120
+  WINDOW wp AS (PARTITION BY b.doc_id ORDER BY b.pos)
+), mx AS (
+  SELECT doc_id, d, f FROM (
+    SELECT doc_id, d, f,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ABS(d) DESC NULLS LAST, pos) AS rn
+    FROM w) WHERE rn = 1
+), en AS (
+  SELECT doc_id, pos AS end_pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ABS(f) DESC NULLS LAST, pos) AS rn
+    FROM w) WHERE rn = 1
+)
+SELECT mx.doc_id,
+       ROUND(CASE WHEN mx.d * mx.f < 0 THEN mx.d + mx.f ELSE mx.d END, 6) AS gap,
+       CAST(en.end_pos AS BIGINT) AS end_pos
+FROM mx JOIN en ON en.doc_id = mx.doc_id
+"""
+
+    # chained drift correction in additive closed form: event windows
+    # [10,30] gap −5 and [30,50] gap +3; pos values are consecutive so
+    # i = pos − start and cnt comes from the per-doc row counts; events
+    # with cnt < 2 are skipped (kernel contract)
+    sql["drift_correct"] = BASE_SQL + """
+, nev AS (
+  SELECT doc_id,
+         SUM(CASE WHEN pos BETWEEN 10 AND 30 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN pos BETWEEN 30 AND 50 THEN 1 ELSE 0 END) AS c2
+  FROM base GROUP BY doc_id
+)
+SELECT b.doc_id, b.pos,
+       ROUND(b.value
+         + CASE WHEN b.pos BETWEEN 10 AND 30 AND n.c1 >= 2
+                THEN -5.0 / (n.c1 - 1) * (b.pos - 10) ELSE 0 END
+         + CASE WHEN b.pos BETWEEN 30 AND 50 AND n.c2 >= 2
+                THEN 3.0 / (n.c2 - 1) * (b.pos - 30) ELSE 0 END, 6) AS drift_cor
+FROM base b JOIN nev n ON n.doc_id = b.doc_id
 """
 
     sql["tokenize_stats"] = BASE_SQL + """
