@@ -125,6 +125,43 @@ def ivf_centroids(dim: int, nlist: int) -> list[list[float]]:
     ]
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    sample_n: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd k-means on a bounded driver-side sample → an IVF codebook.
+
+    The scale contract: only ``sample_n`` vectors ever reach the driver
+    (a fixed-seed sample — at 10^9 rows the sample fraction is tiny and the
+    codebook quality depends on sample size, not table size). Pass the
+    result as ``ivf_topk(centroids=...)`` for data-adaptive cells; empty
+    clusters re-seed from the point farthest from its centroid."""
+    frac = None
+    sample = df.select(vec_col)
+    n_total = sample.count()
+    if n_total > sample_n:
+        frac = min(1.0, (sample_n * 1.2) / n_total)
+        sample = sample.sample(fraction=frac, seed=seed)
+    X = np.array(sample.limit(sample_n).toPandas()[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                worst = int(d2[np.arange(len(X)), assign].argmax())
+                cents[c] = X[worst]
+    return cents.tolist()
+
+
 def _cell_dists(vec_col, cents: list[list[float]]):
     """array<struct(d, cell)>: d = |c|² − 2·v·c (same argmin as L2², the
     |v|² term is constant per vector). Python-sum norm keeps the literal's

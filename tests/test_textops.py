@@ -87,6 +87,41 @@ def test_ivf_topk_partitions_and_recalls(spark, emb):
     assert hits >= 5  # partial-probe recall is imperfect but non-trivial
 
 
+def test_trained_ivf_codebook_on_clustered_data(spark):
+    """On clustered data a trained codebook recovers the clusters: probing
+    ONE cell per query reaches near-perfect recall (hash centroids split
+    clusters arbitrarily and can't guarantee that)."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (8, 64)) * 5
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.normal(0, 0.05, 64)
+        rows.append((i, [float(x) for x in v]))
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    df = spark.createDataFrame(rows, schema)
+    trained = ann.train_ivf_centroids(df, nlist=8, sample_n=400, iters=10)
+    assert len(trained) == 8 and len(trained[0]) == 64
+    queries = df.where(F.col("vec_id") < 8)
+    exact = set(
+        map(tuple, ann.cosine_topk(df, queries, k=5).toPandas()[
+            ["query_id", "neighbor_id"]
+        ].values)
+    )
+    got = ann.ivf_topk(
+        df, queries, k=5, nlist=8, nprobe=1, dim=64, centroids=trained
+    ).toPandas()
+    hits = len(set(map(tuple, got[["query_id", "neighbor_id"]].values)) & exact)
+    assert hits >= 0.95 * len(exact), (hits, len(exact))
+    # determinism: same seed -> same codebook
+    again = ann.train_ivf_centroids(df, nlist=8, sample_n=400, iters=10)
+    np.testing.assert_allclose(trained, again)
+
+
 def test_jaccard_char_ngrams(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
