@@ -1126,19 +1126,31 @@ SELECT d.doc_id AS id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS simhash
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """
 
-    sql["minhash_candidates"] = r"""
+    # one md5 base hash per shingle (mod 2^31-1), then the same md5-derived
+    # universal-hash permutation constants the engine uses (minhash_params)
+    from pyhydroqc_spark.textops.dedup import MERSENNE31, minhash_params
+
+    perm_entries = ",\n      ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for a, b in minhash_params(32)
+    )
+    sql["minhash_candidates"] = rf"""
 WITH d AS (SELECT doc_id, lower(text) AS c FROM documents),
 sh AS (
   SELECT doc_id,
          list_transform(range(1, greatest(1, length(c) - 4) + 1),
                         i -> substr(c, CAST(i AS INT), 5)) AS gs
   FROM d
-), sig AS (
-  SELECT doc_id, list_transform(range(0, 32), s ->
-      list_min(list_transform(gs,
-        g -> CAST(('0x' || substr(md5(g || '|' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)))
-  ) AS sg
+), hs AS (
+  SELECT doc_id,
+         list_transform(gs,
+           g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {MERSENNE31}) AS hv
   FROM sh
+), sig AS (
+  SELECT doc_id, [
+      {perm_entries}
+  ] AS sg
+  FROM hs
 ), banded AS (
   SELECT doc_id, b,
          CAST(('0x' || substr(md5(array_to_string(

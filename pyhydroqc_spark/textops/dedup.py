@@ -143,6 +143,27 @@ def jaccard_pairs(
     return out
 
 
+MERSENNE31 = (1 << 31) - 1  # universal-hash modulus (prime)
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal-hash permutations
+    h_i = (a_i·h + b_i) mod p — derived from md5 so any SQL engine can
+    regenerate the identical constants."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (
+            h60(f"minhash|a|{i}") % (MERSENNE31 - 1) + 1,
+            h60(f"minhash|b|{i}") % MERSENNE31,
+        )
+        for i in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -151,12 +172,17 @@ def minhash_signatures(
     shingle_k: int = 5,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature array<long>): min over shingle hashes per permutation.
+    """(id, signature array<long>): min over permuted shingle hashes.
 
-    Permutation i hashes (shingle, seed=i) — all inside higher-order
-    functions, no Python. Shingles are character k-grams. ``hash_fn="md5"``
-    switches to the portable 60-bit md5 hash (seed appended as
-    ``shingle|i``) so an external SQL engine can replay the signatures.
+    Each character k-gram shingle is hashed ONCE (the dominant cost at
+    scale); the ``num_perm`` permutations are universal hashes
+    h_i = (a_i·h + b_i) mod (2³¹−1) over that base hash — 1 hash +
+    num_perm multiply-adds per shingle instead of num_perm hashes. The
+    base-hash pass and the per-permutation mins are separated by a
+    projection so the hash array is computed once, not CSE'd by luck.
+    ``hash_fn="md5"`` uses the portable 60-bit md5 base hash so an external
+    SQL engine replays the signatures bit-for-bit (constants from
+    ``minhash_params`` are md5-derived, regenerable anywhere).
     """
     c = F.lower(F.col(text_col))
     n = F.length(c)
@@ -164,15 +190,24 @@ def minhash_signatures(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - (shingle_k - 1))),
         lambda i: c.substr(i, F.lit(shingle_k)),
     )
-    if hash_fn == "md5":
-        def perm_hash(g, s):
-            return md5_60(F.concat(g, F.lit("|"), s.cast("string")))
-    else:
-        def perm_hash(g, s):
-            return F.xxhash64(g, s)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: F.array_min(F.transform(sh, lambda g: perm_hash(g, s))),
+    hs = F.transform(sh, lambda g: F.pmod(_hash64(g, hash_fn), F.lit(MERSENNE31)))
+    consts = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_params(num_perm)
+        ]
+    )
+    # ONE fold over the base hashes updates all num_perm running minima —
+    # a projection split would be undone by Catalyst's project collapsing
+    # and re-evaluate the hash array once per permutation
+    sig = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(MERSENNE31).cast("long"), num_perm),
+        lambda acc, hv: F.zip_with(
+            acc,
+            consts,
+            lambda m, c: F.least(m, (c["a"] * hv + c["b"]) % F.lit(MERSENNE31)),
+        ),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
