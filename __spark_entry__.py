@@ -498,6 +498,38 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairing: 16-bit quarter-band buckets then exact
+    hamming recheck — the full LSH shape, oracle-checked."""
+    from pyhydroqc_spark.textops import dedup
+
+    sig = dedup.simhash(_docs(spark, sf_dir), bits=60, hash_fn="md5")
+    out = dedup.simhash_candidates(sig, max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_persist_calib_counts(spark, sf_dir):
+    """Persistence-based calibration candidates (reference quirks: group
+    extended one row earlier; business-day + hour gate), per-doc counts."""
+    from pyhydroqc_spark.operators import calibration, rules
+
+    df = _events_cadenced(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(T0_EPOCH) + F.col("pos") * 3600)
+    )
+    df = df.withColumn("vq", F.round(F.col("value") / 50)).withColumn(
+        "anomaly", F.lit(False)
+    )
+    df = rules.persistence(df, 3, value_col="vq", output_grp=True)
+    out = calibration.persist_candidates(df)
+    return out.groupBy("doc_id").agg(
+        F.sum(F.col("calib_flag").cast("long")).alias("n_calib")
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     from pyhydroqc_spark.textops import ann
 
@@ -571,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_detect_counts": q_windowed_detect_counts,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "persist_calib_counts": q_persist_calib_counts,
         "lsh_topk": q_lsh_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1162,6 +1196,85 @@ SELECT a.doc_id AS id_a, b2.doc_id AS id_b
 FROM banded a
 JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
 GROUP BY 1, 2
+"""
+
+    # simhash quarter-band LSH + exact hamming recheck, on the same md5
+    # 60-bit signatures as the simhash oracle
+    sql["simhash_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS wd
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) AS hv FROM w
+), b AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+  GROUP BY doc_id, j
+), s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh
+  FROM b GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id AS id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS hv
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+), banded AS (
+  SELECT id, hv, q, (hv >> CAST(q * 16 AS INT)) & 65535 AS qv
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS q) qs
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.hv AS ha, b2.hv AS hb
+  FROM banded a JOIN banded b2 ON a.q = b2.q AND a.qv = b2.qv AND a.id < b2.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    # persist_candidates: persistence groups (first row of an equal run
+    # excluded), extended one row EARLIER (reference shift(-1) quirk),
+    # extended length in [3,7] flags the rows, gated to business hours.
+    # ts = T0 + 3600·pos with T0 = Monday midnight UTC, so hour = pos%24
+    # and weekday index = (pos/24)%7 with 0 = Monday — pure arithmetic,
+    # no timezone traps
+    sql["persist_calib_counts"] = BASE_SQL + """
+, vq AS (SELECT doc_id, pos, ROUND(value / 50) AS v FROM base),
+rep AS (
+  SELECT doc_id, pos,
+         COALESCE(v = LAG(v) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS r
+  FROM vq
+), lg AS (
+  SELECT doc_id, pos, r,
+         CASE WHEN r AND NOT COALESCE(LAG(r) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS started
+  FROM rep
+), runs AS (
+  SELECT doc_id, pos, r,
+         CASE WHEN r THEN SUM(started) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ELSE 0 END AS grp
+  FROM lg
+), lens AS (
+  SELECT doc_id, pos, grp,
+         CASE WHEN grp > 0 THEN COUNT(*) OVER (PARTITION BY doc_id, grp) ELSE 0 END AS rl
+  FROM runs
+), anom AS (
+  SELECT doc_id, pos, grp, (grp > 0 AND rl >= 3) AS a FROM lens
+), ext AS (
+  SELECT doc_id, pos, a,
+         CASE WHEN grp = 0 AND COALESCE(LEAD(grp) OVER (PARTITION BY doc_id ORDER BY pos), 0) > 0
+              THEN LEAD(grp) OVER (PARTITION BY doc_id ORDER BY pos)
+              ELSE grp END AS egrp
+  FROM anom
+), elen AS (
+  SELECT doc_id, pos, a, egrp,
+         CASE WHEN egrp > 0 THEN COUNT(*) OVER (PARTITION BY doc_id, egrp) ELSE 0 END AS el
+  FROM ext
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN (a OR (egrp > 0 AND el BETWEEN 3 AND 7))
+                      AND (pos % 24) BETWEEN 7 AND 17
+                      AND (CAST(FLOOR(pos / 24) AS INT) % 7) BETWEEN 0 AND 4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_calib
+FROM elen GROUP BY doc_id
 """
 
     sql["lang_id"] = r"""
