@@ -530,6 +530,26 @@ def q_persist_calib_counts(spark, sf_dir):
     )
 
 
+def q_edge_candidates(spark, sf_dir):
+    """Per-day edge-jump calibration candidates, preserving the reference
+    quirk: the day is selected by max |edge| but the candidate timestamp is
+    the argmax of the RAW edge. Zero edges (boundary fill rows) are
+    filtered so the argmax is tie-free on both engines."""
+    from pyhydroqc_spark.operators import calibration
+
+    df = (
+        _events_long(spark, sf_dir)
+        .withColumn("ts", F.timestamp_seconds(F.lit(T0_EPOCH) + F.col("pos") * 3600))
+        .withColumnRenamed("value", "observed")
+    )
+    ed = calibration.edge_filter(df, 4).where(F.col("edge_diff") != 0.0)
+    out = calibration.edge_candidates(ed, threshold=10.0)
+    return out.select(
+        "doc_id",
+        ((F.unix_timestamp("candidate") - T0_EPOCH) / 3600).cast("long").alias("cand_pos"),
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     from pyhydroqc_spark.textops import ann
 
@@ -605,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "persist_calib_counts": q_persist_calib_counts,
+        "edge_candidates": q_edge_candidates,
         "lsh_topk": q_lsh_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1275,6 +1296,39 @@ SELECT doc_id,
                       AND (CAST(FLOOR(pos / 24) AS INT) % 7) BETWEEN 0 AND 4
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_calib
 FROM elen GROUP BY doc_id
+"""
+
+    # per-day edge candidates: day picked by max|edge| > threshold, the
+    # candidate row by argmax of the RAW edge (reference quirk); hourly
+    # cadence from Monday-midnight epoch -> hour = pos%24, weekday =
+    # (pos/24)%7 with 0=Monday
+    sql["edge_candidates"] = BASE_SQL + """
+, st AS (
+  SELECT doc_id, pos, value,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         SUM(value) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s_before,
+         SUM(value) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s_after
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), ef AS (
+  SELECT doc_id, pos,
+         CASE WHEN rn > 4 AND rn <= n - 4 THEN (s_before - s_after) / 4 ELSE 0.0 END AS edge
+  FROM st
+), nz AS (
+  SELECT * FROM ef WHERE edge != 0.0
+), byday AS (
+  SELECT doc_id, pos, edge,
+         CAST(FLOOR(pos / 24) AS INT) AS day,
+         MAX(ABS(edge)) OVER (PARTITION BY doc_id, CAST(FLOOR(pos / 24) AS INT)) AS mx,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, CAST(FLOOR(pos / 24) AS INT)
+                            ORDER BY edge DESC, pos) AS rk
+  FROM nz
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS cand_pos
+FROM byday
+WHERE rk = 1 AND mx > 10.0
+  AND (pos % 24) BETWEEN 7 AND 17
+  AND (day % 7) BETWEEN 0 AND 4
 """
 
     sql["lang_id"] = r"""
