@@ -530,6 +530,33 @@ def q_persist_calib_counts(spark, sf_dir):
     )
 
 
+def q_point_metrics(spark, sf_dir):
+    """Full comparison workflow gated end-to-end: labels (value>420) and
+    detections (value>400) → widened events → compare_events state machine
+    (group merge + exit-only categorization + trailing-group quirk) →
+    point confusion metrics. One global row."""
+    from pyhydroqc_spark.operators import events, metrics
+
+    df = (
+        _events_long(spark, sf_dir)
+        .withColumn("labeled", F.col("value") > 420)
+        .withColumn("det", F.col("value") > 400)
+    )
+    df = events.anomaly_events(df, "labeled", wf=1, out_col="labeled_event")
+    df = events.anomaly_events(df, "det", wf=1, out_col="detected_event")
+    cm = metrics.compare_events(df, wf=1)
+    out = metrics.point_metrics(cm)
+    return out.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round("prc", 6).alias("prc"),
+        F.round("rcl", 6).alias("rcl"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_edge_candidates(spark, sf_dir):
     """Per-day edge-jump calibration candidates, preserving the reference
     quirk: the day is selected by max |edge| but the candidate timestamp is
@@ -626,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "persist_calib_counts": q_persist_calib_counts,
         "edge_candidates": q_edge_candidates,
+        "point_metrics": q_point_metrics,
         "lsh_topk": q_lsh_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1296,6 +1324,79 @@ SELECT doc_id,
                       AND (CAST(FLOOR(pos / 24) AS INT) % 7) BETWEEN 0 AND 4
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_calib
 FROM elen GROUP BY doc_id
+"""
+
+    # the compare_events state machine as lag+cumsum: a new group starts on
+    # a (labeled_event, detected_event) transition out of/into (0,0) or
+    # when BOTH ids change; groups are categorized on exit only (the
+    # trailing group never is — reference quirk), wf edge rows excluded
+    sql["point_metrics"] = BASE_SQL + """
+, fl AS (
+  SELECT doc_id, pos, (value > 420) AS lf, (value > 400) AS df_,
+         ROW_NUMBER() OVER wp AS rn, COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM base WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+), wd AS (
+  SELECT doc_id, pos,
+         (rn > 1 AND rn <= n - 1 AND MAX(CASE WHEN lf THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1) AS lw,
+         (rn > 1 AND rn <= n - 1 AND MAX(CASE WHEN df_ THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1) AS dw
+  FROM fl
+), lg AS (
+  SELECT doc_id, pos, lw, dw,
+         CASE WHEN lw AND NOT COALESCE(LAG(lw) OVER wp, FALSE) THEN 1 ELSE 0 END AS lst,
+         CASE WHEN dw AND NOT COALESCE(LAG(dw) OVER wp, FALSE) THEN 1 ELSE 0 END AS dst
+  FROM wd WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+), evt AS (
+  SELECT doc_id, pos,
+         CASE WHEN lw THEN SUM(lst) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ELSE 0 END AS la,
+         CASE WHEN dw THEN SUM(dst) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ELSE 0 END AS da
+  FROM lg
+), tr AS (
+  SELECT doc_id, pos, la, da,
+         COALESCE(LAG(la) OVER wp, la) AS pla,
+         COALESCE(LAG(da) OVER wp, da) AS pda
+  FROM evt WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+), grp AS (
+  SELECT doc_id, pos, la, da,
+         SUM(CASE WHEN (la != pla OR da != pda)
+                   AND ((pla = 0 AND pda = 0) OR (la = 0 AND da = 0)
+                        OR (la != pla AND da != pda))
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM tr
+), gstats AS (
+  SELECT doc_id, pos, g,
+         MAX(g) OVER (PARTITION BY doc_id) AS gmax,
+         MAX(CASE WHEN la > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, g) AS has_l,
+         MAX(CASE WHEN da > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, g) AS has_d,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, g ORDER BY pos) AS grn,
+         COUNT(*) OVER (PARTITION BY doc_id, g) AS gcnt
+  FROM grp
+), cm AS (
+  SELECT CASE WHEN g < gmax AND (has_d = 1 OR has_l = 1)
+               AND grn > 1 AND grn <= gcnt - 1
+              THEN CASE WHEN has_d = 1 AND has_l = 1 THEN 'tp'
+                        WHEN has_d = 1 THEN 'fp' ELSE 'fn' END
+              ELSE 'tn' END AS c
+  FROM gstats
+), agg AS (
+  SELECT SUM(CASE WHEN c = 'tp' THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN c = 'fp' THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN c = 'fn' THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN c = 'tn' THEN 1 ELSE 0 END) AS tn
+  FROM cm
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prc,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rcl,
+       ROUND(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+             / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1
+FROM agg
 """
 
     # per-day edge candidates: day picked by max|edge| > threshold, the

@@ -85,6 +85,61 @@ def compare_events(
     return df.groupBy(key).applyInPandas(run, schema=out_schema)
 
 
+def compare_events_sql(
+    df: DataFrame,
+    wf: int = 1,
+    labeled_col: str = "labeled_event",
+    detected_col: str = "detected_event",
+    out_col: str = "conf_mtx",
+    key: str = SERIES_KEY,
+    order: str = ORDER_COL,
+) -> DataFrame:
+    """`compare_events` as pure Window expressions — no Python kernel.
+
+    The reference's sequential merge is a running group id: a new group
+    starts on a (labeled, detected) transition out of / into (0, 0) or when
+    BOTH ids change; categories assign on group exit only (the trailing
+    group never categorizes — quirk preserved) and ``wf`` edge rows of each
+    categorized group stay 'tn'. Output-identical to the grouped-map kernel
+    (tested); at scale this keeps the comparison inside whole-stage codegen
+    with one exchange on the series key.
+    """
+    w = series_window(key, order)
+    la, da = F.col(labeled_col), F.col(detected_col)
+    pla = F.coalesce(F.lag(labeled_col).over(w), la)
+    pda = F.coalesce(F.lag(detected_col).over(w), da)
+    changed = (la != pla) | (da != pda)
+    inc = (
+        changed
+        & (
+            ((pla == 0) & (pda == 0))
+            | ((la == 0) & (da == 0))
+            | ((la != pla) & (da != pda))
+        )
+    ).cast("int")
+    out = df.withColumn("__g", F.sum(inc).over(w))
+    wg = Window.partitionBy(key, "__g")
+    wga = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gmax = F.max("__g").over(
+        Window.partitionBy(key).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    has_l = F.max((la > 0).cast("int")).over(wga) == 1
+    has_d = F.max((da > 0).cast("int")).over(wga) == 1
+    grn = F.row_number().over(wg.orderBy(order))
+    gcnt = F.count(F.lit(1)).over(wga)
+    cat = F.when(has_d & has_l, "tp").when(has_d, "fp").otherwise("fn")
+    cm = F.when(
+        (F.col("__g") < gmax)
+        & (has_d | has_l)
+        & (grn > wf)
+        & (grn <= gcnt - wf),
+        cat,
+    ).otherwise(F.lit("tn"))
+    return out.withColumn(out_col, cm).drop("__g")
+
+
 def point_metrics(df: DataFrame, cm_col: str = "conf_mtx", by_key: bool = False) -> DataFrame:
     """tp/fp/fn/tn counts + prc/npv/acc/rcl/f1/f2 (`anomaly_utilities.py:215-247`)."""
     cnt = lambda v: F.sum((F.col(cm_col) == v).cast("long"))

@@ -109,3 +109,47 @@ def test_aggregate_results(spark):
     )
     got = out.orderBy("pos").toPandas()["detected_event"].tolist()
     assert got == [(5 <= i <= 12) for i in range(n)]
+
+
+def test_compare_events_sql_equals_kernel(spark):
+    """The Window-expression compare_events must be row-identical to the
+    grouped-map kernel on adversarial event sequences (overlaps, touching
+    groups, trailing group, singleton groups)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for d in ["a", "b", "c"]:
+        n = 300
+        lab = (rng.random(n) < 0.08).astype(int)
+        det = (rng.random(n) < 0.12).astype(int)
+        # enumerate simple runs as pseudo event-ids (what anomaly_events makes)
+        def ids(f):
+            out, g = [], 0
+            prev = 0
+            for v in f:
+                if v and not prev:
+                    g += 1
+                out.append(g if v else 0)
+                prev = v
+            return out
+        li, di = ids(lab), ids(det)
+        for i in range(n):
+            rows.append((d, i, int(li[i]), int(di[i])))
+    df = spark.createDataFrame(
+        rows, "doc_id string, pos long, labeled_event long, detected_event long"
+    )
+    for wf in (0, 1, 2):
+        a = (
+            metrics.compare_events(df, wf=wf)
+            .orderBy("doc_id", "pos")
+            .toPandas()["conf_mtx"]
+            .tolist()
+        )
+        b = (
+            metrics.compare_events_sql(df, wf=wf)
+            .orderBy("doc_id", "pos")
+            .toPandas()["conf_mtx"]
+            .tolist()
+        )
+        assert a == b, wf
