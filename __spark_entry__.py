@@ -1392,10 +1392,10 @@ FROM elen GROUP BY doc_id
 )
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prc,
-       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rcl,
-       ROUND(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
-             / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prc,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS rcl,
+       ROUND(2.0 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
+             / NULLIF(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) + CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 0), 6) AS f1
 FROM agg
 """
 

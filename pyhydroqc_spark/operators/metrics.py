@@ -151,13 +151,18 @@ def point_metrics(df: DataFrame, cm_col: str = "conf_mtx", by_key: bool = False)
         cnt("tn").alias("tn"),
     )
     tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    # try_divide: empty strata (no detections / no labels) yield NULL
+    # ratios instead of an ANSI divide-by-zero error
     return (
-        agg.withColumn("prc", tp / (tp + fp))
-        .withColumn("npv", tn / (tn + fn))
-        .withColumn("acc", (tp + tn) / (tp + tn + fp + fn))
-        .withColumn("rcl", tp / (tp + fn))
-        .withColumn("f1", 2.0 * (F.col("prc") * F.col("rcl")) / (F.col("prc") + F.col("rcl")))
-        .withColumn("f2", 5.0 * tp / (5.0 * tp + 4.0 * fn + fp))
+        agg.withColumn("prc", F.try_divide(tp, tp + fp))
+        .withColumn("npv", F.try_divide(tn, tn + fn))
+        .withColumn("acc", F.try_divide(tp + tn, tp + tn + fp + fn))
+        .withColumn("rcl", F.try_divide(tp, tp + fn))
+        .withColumn(
+            "f1",
+            F.try_divide(2.0 * (F.col("prc") * F.col("rcl")), F.col("prc") + F.col("rcl")),
+        )
+        .withColumn("f2", F.try_divide(5.0 * tp, 5.0 * tp + 4.0 * fn + fp))
     )
 
 
@@ -177,10 +182,13 @@ def event_metrics(df: DataFrame, cm_col: str = "conf_mtx", by_key: bool = False)
     )
     tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
     return (
-        agg.withColumn("prc", tp / (tp + fp))
-        .withColumn("rcl", tp / (tp + fn))
-        .withColumn("f1", 2.0 * (F.col("prc") * F.col("rcl")) / (F.col("prc") + F.col("rcl")))
-        .withColumn("f2", 5.0 * tp / (5.0 * tp + 4.0 * fn + fp))
+        agg.withColumn("prc", F.try_divide(tp, tp + fp))
+        .withColumn("rcl", F.try_divide(tp, tp + fn))
+        .withColumn(
+            "f1",
+            F.try_divide(2.0 * (F.col("prc") * F.col("rcl")), F.col("prc") + F.col("rcl")),
+        )
+        .withColumn("f2", F.try_divide(5.0 * tp, 5.0 * tp + 4.0 * fn + fp))
     )
 
 
