@@ -530,6 +530,25 @@ def q_persist_calib_counts(spark, sf_dir):
     )
 
 
+def q_aggregate_results(spark, sf_dir):
+    """Multi-model OR (reference aggregate_results): two detectors — rules
+    range check and the dynamic-threshold chain — each widened to events,
+    OR'd per (doc, pos)."""
+    from pyhydroqc_spark.operators import events, metrics, rules, threshold
+
+    base = _events_long(spark, sf_dir)
+    m1 = rules.range_check(base, MAXR, MINR)
+    m1 = events.anomaly_events(m1, "anomaly", wf=1, out_col="detected_event")
+    m2 = base.withColumnRenamed("value", "residual")
+    m2 = threshold.dynamic_threshold(m2, "residual", window_sz=30, alpha=0.05, min_range=1.0)
+    m2 = threshold.detect_threshold_anomalies(m2, "residual")
+    m2 = events.anomaly_events(m2, "detected_anomaly", wf=1, out_col="detected_event")
+    out = metrics.aggregate_results({"rules": m1, "thr": m2})
+    return out.select(
+        "doc_id", "pos", F.col("detected_event").cast("boolean").alias("any_detected")
+    )
+
+
 def q_point_metrics(spark, sf_dir):
     """Full comparison workflow gated end-to-end: labels (value>420) and
     detections (value>400) → widened events → compare_events state machine
@@ -654,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persist_calib_counts": q_persist_calib_counts,
         "edge_candidates": q_edge_candidates,
         "point_metrics": q_point_metrics,
+        "aggregate_results": q_aggregate_results,
         "lsh_topk": q_lsh_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1324,6 +1344,31 @@ SELECT doc_id,
                       AND (CAST(FLOOR(pos / 24) AS INT) % 7) BETWEEN 0 AND 4
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_calib
 FROM elen GROUP BY doc_id
+"""
+
+    # two detectors (rules range + dynamic threshold), each ±1-widened with
+    # the edge forcing, OR'd per point (detected_event>0 ⟺ the widened flag)
+    sql["aggregate_results"] = BASE_SQL + f"""
+, t AS (
+  SELECT doc_id, pos, value,
+         AVG(value) OVER w AS mu, STDDEV_SAMP(value) OVER w AS sd
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+), fl AS (
+  SELECT doc_id, pos,
+         (value > {MAXR} OR value < {MINR}) AS f1,
+         (value < mu - GREATEST(1.0, {Z_05!r} * sd)
+          OR value > mu + GREATEST(1.0, {Z_05!r} * sd)) AS f2,
+         ROW_NUMBER() OVER wp AS rn, COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM t WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, pos,
+       ((rn > 1 AND rn <= n - 1 AND MAX(CASE WHEN f1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1)
+        OR
+        (rn > 1 AND rn <= n - 1 AND MAX(CASE WHEN f2 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1)
+       ) AS any_detected
+FROM fl
 """
 
     # the compare_events state machine as lag+cumsum: a new group starts on
