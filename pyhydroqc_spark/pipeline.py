@@ -152,7 +152,9 @@ def _process_partition(
         from .operators.fused import fused_qc_correct
 
         corrected = fused_qc_correct(long_df, p, arima_order=arima_order)
-        return _commit_rollups(corrected, part, tiers, tier_tables, comp_table)
+        return _commit_rollups(
+            corrected, part, tiers, tier_tables, comp_table, tier_comp_tables
+        )
     if with_model_detect:
         detected = detect_mod.arima_detect(long_df, p, rules=True)
     else:

@@ -86,6 +86,15 @@ def load_calib_dates(spark: SparkSession, path: str) -> DataFrame:
     ``pd.read_csv(header=1)`` (`Examples/FindCompareGaps.py:45-48`). Parsing
     via ``text`` + ``from_csv`` and keeping only rows whose first two fields
     parse as timestamps is robust to any number of leading title lines.
+
+    DOCUMENTED DEVIATION: rows whose start/end fail ``try_to_timestamp``
+    are DROPPED, whereas the reference's ``pd.read_csv + to_datetime``
+    keeps them as NaT (and downstream range joins then silently skip
+    them). Dropping is the safer contract for a dimension that feeds range
+    joins — an event with no parseable bounds can never match — but
+    callers diffing row counts against the reference on malformed fixtures
+    should know the counts diverge there (the real MainStreet files parse
+    cleanly, so both behaviors agree on them).
     """
     schema = "`start` STRING, `end` STRING, `gap` STRING"
     clean = F.regexp_replace(

@@ -118,9 +118,14 @@ class SnapshotTable:
             .partitionBy("__part")
             .parquet(commit_dir)
         )
+        from urllib.parse import unquote
+
         new_files: dict[str, str] = {}
         for fp in sorted(glob.glob(os.path.join(commit_dir, "__part=*", "*.parquet"))):
-            pval = os.path.basename(os.path.dirname(fp)).split("=", 1)[1]
+            # Spark URL-escapes special chars in partition directory names
+            # (':' -> '%3A'); unescape so manifest values match the raw
+            # strings callers pass to files_for_partitions
+            pval = unquote(os.path.basename(os.path.dirname(fp)).split("=", 1)[1])
             new_files[fp] = pval
         touched = set(new_files.values())
         files = {
@@ -177,6 +182,23 @@ class SnapshotTable:
         }
         return self._commit(files)
 
+    def rewrite_manifests(self, keep_last: int = 2) -> int:
+        """Metadata-only manifest compaction (Iceberg ``rewrite_manifests``
+        analogue): drop manifest JSONs older than the newest ``keep_last``
+        without touching any data file. Each snapshot manifest is
+        self-contained (full live-file map), so planning a read is always
+        ONE manifest load — O(current files) regardless of commit count —
+        but long-lived stores accumulate one JSON per commit; this bounds
+        that. Returns the number of manifests removed."""
+        cur = self.current_snapshot_id()
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        removed = 0
+        for path in glob.glob(os.path.join(self.snap_dir, "v*.json")):
+            if int(os.path.basename(path)[1:6]) not in keep:
+                os.remove(path)
+                removed += 1
+        return removed
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Delete manifests older than the newest ``keep_last`` and any data
         files no longer referenced by a live snapshot."""
@@ -190,8 +212,15 @@ class SnapshotTable:
             sid = int(os.path.basename(path)[1:6])
             if sid not in live_ids:
                 os.remove(path)
-        for fp in glob.glob(os.path.join(self.root, "data", "*", "*.parquet")):
-            if fp not in live_files:
-                os.remove(fp)
-                removed.append(fp)
+        # data files live either directly under data/<commit>/ (append /
+        # overwrite_partition) or one level deeper under a dynamic-partition
+        # directory data/<commit>/__part=*/ (overwrite_partitions) — sweep
+        # both layouts or replaced streaming files grow without bound
+        for pattern in ("*", os.path.join("*", "__part=*")):
+            for fp in glob.glob(
+                os.path.join(self.root, "data", pattern, "*.parquet")
+            ):
+                if fp not in live_files:
+                    os.remove(fp)
+                    removed.append(fp)
         return removed

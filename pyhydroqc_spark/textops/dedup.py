@@ -87,6 +87,32 @@ def _units(text_col: str, tokenizer):
     )
 
 
+def hot_tokens(
+    df: DataFrame,
+    max_doc_freq: float,
+    n_docs: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer="word",
+) -> DataFrame:
+    """Tokens present in more than ``max_doc_freq`` of documents — the set
+    the jaccard skew guard drops. Exposed separately so callers can count /
+    inspect / metrics-sink the dropped tokens without forcing extra jobs
+    inside the query path (no silent caps: report this table alongside any
+    guarded jaccard run). Lazy unless ``n_docs`` is None (then one count)."""
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_units(text_col, tokenizer)).alias("w")
+    )
+    return (
+        toks.groupBy("w")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") > max_doc_freq * n_docs)
+        .select("w")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -94,6 +120,7 @@ def jaccard_pairs(
     text_col: str = "text",
     max_doc_freq: float | None = 0.5,
     tokenizer="word",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with set Jaccard ≥ threshold.
 
@@ -105,22 +132,25 @@ def jaccard_pairs(
     every other — an all-pairs blow-up on hot tokens ("the"). Dropping such
     tokens changes which pairs clear ``threshold``, so the guard is part of
     the operator's contract (mirror it in any oracle); pass ``None`` to
-    disable. Dropped-token count is reported via print (no silent caps).
+    disable. NOTE: the default changed from None to 0.5 in round 2 — a
+    deliberate breaking change (unguarded token joins are an all-pairs
+    blow-up at scale); callers wanting the old semantics pass
+    ``max_doc_freq=None``. Use :func:`hot_tokens` to report what the guard
+    drops (no silent caps).
+
+    The operator body is fully lazy when ``n_docs`` is supplied (pass it
+    from table statistics or an already-known count); without it, the guard
+    needs one eager ``df.count()`` to turn the frequency fraction into a
+    row threshold.
     """
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(_units(text_col, tokenizer)).alias("w"))
     )
     if max_doc_freq is not None:
-        n_docs = df.count()
-        hot = (
-            toks.groupBy("w").agg(F.countDistinct("id").alias("df"))
-            .where(F.col("df") > max_doc_freq * n_docs)
-            .select("w")
-            .persist()
+        hot = hot_tokens(
+            df, max_doc_freq, n_docs=n_docs,
+            id_col=id_col, text_col=text_col, tokenizer=tokenizer,
         )
-        n_hot = hot.count()
-        if n_hot:
-            print(f"jaccard_pairs: dropping {n_hot} hot tokens (doc_freq > {max_doc_freq})")
         toks = toks.join(F.broadcast(hot), "w", "left_anti")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")

@@ -155,10 +155,11 @@ def test_fused_modes_equal_native(spark, tmp_path):
             )
 
 
-def test_tier_blob_compression_roundtrips(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["native", "fused", "fused_cells"])
+def test_tier_blob_compression_roundtrips(spark, tmp_path, mode):
     """north_rule: compression per retention tier — every tier table gets a
     companion blob table whose delta-of-delta timestamps and quantized
-    values round-trip to the stored cells (fused_cells mode included; the
+    values round-trip to the stored cells, in ALL pipeline modes (the
     per-point blob table exists only for modes with per-point rows)."""
     from pyhydroqc_spark.compression import decode_series_blob
     from pyhydroqc_spark.datagen import VAL_HI, VAL_LO
@@ -168,8 +169,11 @@ def test_tier_blob_compression_roundtrips(spark, tmp_path):
     tbl, _ = _input_table(spark, tmp, n_series=2, n_tok=800, seed=5)
     out = os.path.join(tmp, "out")
     P.run_pipeline(spark, tbl, out, PARAMS, with_compression=True,
-                   with_model_detect=False, mode="fused_cells")
-    assert not os.path.exists(os.path.join(out, "compressed"))
+                   with_model_detect=False, mode=mode)
+    if mode == "fused_cells":
+        assert not os.path.exists(os.path.join(out, "compressed"))
+    else:
+        assert os.path.exists(os.path.join(out, "compressed"))
     for tier in (900, 3600, 86400):
         cells = _read_tier(spark, out, tier)
         blobs = (
