@@ -633,6 +633,177 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_event_metrics(spark, sf_dir):
+    """Event-level confusion counts (reference event_metrics,
+    `anomaly_utilities.py:250-295`): each category transition into tp/fp/fn
+    counts one event. Runs the pure-Window compare_events_sql twin end-to-
+    end (the kernel path is gated by point_metrics)."""
+    from pyhydroqc_spark.operators import events, metrics
+
+    df = (
+        _events_long(spark, sf_dir)
+        .withColumn("labeled", F.col("value") > 420)
+        .withColumn("det", F.col("value") > 400)
+    )
+    df = events.anomaly_events(df, "labeled", wf=1, out_col="labeled_event")
+    df = events.anomaly_events(df, "det", wf=1, out_col="detected_event")
+    cm = metrics.compare_events_sql(df, wf=1)
+    out = metrics.event_metrics(cm)
+    return out.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round("prc", 6).alias("prc"),
+        F.round("rcl", 6).alias("rcl"),
+        F.round("f1", 6).alias("f1"),
+        F.round("f2", 6).alias("f2"),
+    )
+
+
+def q_calib_overlap(spark, sf_dir):
+    """Multi-sensor calibration overlap AND (reference calibration.py:
+    100-141): sensors (user series) grouped into sites; a position
+    overlaps when EVERY sensor of the site is inside a widened calib
+    event there."""
+    from pyhydroqc_spark.operators import calibration, events
+
+    df = _events_long(spark, sf_dir).withColumn("flag", F.col("value") > 380)
+    df = events.anomaly_events(df, "flag", wf=1, out_col="calib_event")
+    df = df.withColumn("site", F.col("doc_id").cast("long") % 5).withColumn(
+        "calib_event_flag", F.col("calib_event") > 0
+    )
+    out = calibration.overlap(
+        df, sensor_col="doc_id", flag_col="calib_event_flag", key="site"
+    )
+    return out.select(
+        F.col("site").cast("long").alias("site"),
+        F.col("pos").cast("long").alias("pos"),
+        "all_calib",
+    )
+
+
+def q_const_threshold(spark, sf_dir):
+    """Constant thresholds, both reference variants: per-series z·σ̂ bounds
+    from the residual distribution (set_cons_threshold analog, M3) applied
+    via the threshold join, plus the scalar-bound detector (M5)."""
+    from pyhydroqc_spark.operators import threshold
+
+    w = Window.partitionBy("doc_id")
+    resid = _events_long(spark, sf_dir).withColumn(
+        "residual", F.col("value") - F.avg("value").over(w)
+    )
+    thr = threshold.constant_threshold(resid, "residual", alpha=0.05)
+    det = threshold.detect_threshold_anomalies(
+        resid.join(F.broadcast(thr), "doc_id")
+    )
+    det = threshold.constant_threshold_anomalies(
+        det, "residual", -80.0, 80.0, flag_col="scalar_anom"
+    )
+    return det.groupBy("doc_id").agg(
+        F.round(F.min("low"), 6).alias("low"),
+        F.round(F.max("high"), 6).alias("high"),
+        F.sum(F.col("detected_anomaly").cast("long")).alias("n_detected"),
+        F.sum(F.col("scalar_anom").cast("long")).alias("n_scalar"),
+    )
+
+
+def q_comp_roundtrip(spark, sf_dir):
+    """Compression round-trip gate: quantize each series with the shared
+    tokenizer, run it through the REAL storage codecs (delta-of-delta
+    timestamps + Gorilla-style XOR values, compression.py) and decode
+    again; emit order-weighted checksums of the DECODED arrays. The oracle
+    computes the same checksums from the raw table — a hash match proves
+    decode(encode(x)) == x on every series."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pyhydroqc_spark.compression import decode_series_blob, encode_series_blob
+    from pyhydroqc_spark.quantize import quantize
+
+    df = _events_cadenced(spark, sf_dir).select(
+        "doc_id", "pos", F.unix_timestamp("ts").alias("tsec"), "value"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("n", LongType(), False),
+            StructField("val_sum", LongType(), False),
+            StructField("ts_sum", LongType(), False),
+        ]
+    )
+
+    def rt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        toks = quantize(pdf["value"].to_numpy(dtype=float), 0.0, 500.0)
+        ts = pdf["tsec"].to_numpy(np.int64)
+        dtoks, dts = decode_series_blob(encode_series_blob(toks, ts))
+        w = np.arange(1, len(dtoks) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "n": [len(dtoks)],
+                "val_sum": [int((w * dtoks.astype(np.int64)).sum())],
+                "ts_sum": [int((w * dts.astype(np.int64)).sum())],
+            }
+        )
+
+    return df.groupBy("doc_id").applyInPandas(rt, schema=schema)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction over lib-free payloads: deterministic
+    constant-channel 16×16 images built per document id — P6 PPM for even
+    ids, 24-bit BMP for odd ids — through the REAL container-sniffing
+    decode + 8×8 grayscale feature kernel (textops/multimodal.py). With
+    R=G=B=p the grayscale equals p, so features×255 are integers the
+    oracle reproduces in closed form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType,
+    )
+
+    from pyhydroqc_spark.textops import multimodal
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("id"))
+    media_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("media", BinaryType(), False),
+            StructField("kind", StringType(), False),
+        ]
+    )
+
+    def build(batches):
+        yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                p = ((int(i) * 31 + yy * 16 + xx * 3) % 256).astype(np.uint8)
+                img = np.stack([p, p, p], axis=-1)
+                payload = (
+                    multimodal.encode_ppm(img)
+                    if int(i) % 2 == 0
+                    else multimodal.encode_bmp(img)
+                )
+                rows.append((str(int(i)), payload, "image"))
+            yield pd.DataFrame(rows, columns=["media_id", "media", "kind"])
+
+    media = ids.mapInPandas(build, schema=media_schema)
+    feats = multimodal.extract_features(media, decode="real")
+    return feats.select(
+        F.col("media_id").cast("long").alias("id"),
+        F.posexplode("features").alias("fi", "f"),
+    ).select(
+        "id",
+        F.col("fi").cast("long").alias("fi"),
+        F.round(F.col("f") * 255).cast("long").alias("gval"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_counts": q_range_counts,
@@ -677,6 +848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "event_metrics": q_event_metrics,
+        "calib_overlap": q_calib_overlap,
+        "const_threshold": q_const_threshold,
+        "comp_roundtrip": q_comp_roundtrip,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1375,7 +1551,11 @@ FROM fl
     # a (labeled_event, detected_event) transition out of/into (0,0) or
     # when BOTH ids change; groups are categorized on exit only (the
     # trailing group never is — reference quirk), wf edge rows excluded
-    sql["point_metrics"] = BASE_SQL + """
+    # shared compare_events chain (labels value>420, detections value>400,
+    # wf=1 widen + reference edge/exit/trailing-group quirks) → per-row
+    # confusion category c — the tail differs between point_metrics
+    # (row counts) and event_metrics (transition counts)
+    cm_sql = BASE_SQL + """
 , fl AS (
   SELECT doc_id, pos, (value > 420) AS lf, (value > 400) AS df_,
          ROW_NUMBER() OVER wp AS rn, COUNT(*) OVER (PARTITION BY doc_id) AS n
@@ -1422,13 +1602,18 @@ FROM fl
          COUNT(*) OVER (PARTITION BY doc_id, g) AS gcnt
   FROM grp
 ), cm AS (
-  SELECT CASE WHEN g < gmax AND (has_d = 1 OR has_l = 1)
+  SELECT doc_id, pos,
+         CASE WHEN g < gmax AND (has_d = 1 OR has_l = 1)
                AND grn > 1 AND grn <= gcnt - 1
               THEN CASE WHEN has_d = 1 AND has_l = 1 THEN 'tp'
                         WHEN has_d = 1 THEN 'fp' ELSE 'fn' END
               ELSE 'tn' END AS c
   FROM gstats
-), agg AS (
+)
+"""
+
+    sql["point_metrics"] = cm_sql + """
+, agg AS (
   SELECT SUM(CASE WHEN c = 'tp' THEN 1 ELSE 0 END) AS tp,
          SUM(CASE WHEN c = 'fp' THEN 1 ELSE 0 END) AS fp,
          SUM(CASE WHEN c = 'fn' THEN 1 ELSE 0 END) AS fn,
@@ -1442,6 +1627,79 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        ROUND(2.0 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
              / NULLIF(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) + CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 0), 6) AS f1
 FROM agg
+"""
+
+    sql["event_metrics"] = cm_sql + """
+, ne AS (
+  SELECT doc_id, pos, c,
+         CASE WHEN c != COALESCE(LAG(c) OVER (PARTITION BY doc_id ORDER BY pos), 'tn')
+              THEN 1 ELSE 0 END AS nev
+  FROM cm
+), agg AS (
+  SELECT SUM(CASE WHEN nev = 1 AND c = 'tp' THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN nev = 1 AND c = 'fp' THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN nev = 1 AND c = 'fn' THEN 1 ELSE 0 END) AS fn
+  FROM ne
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prc,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS rcl,
+       ROUND(2.0 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
+             / NULLIF(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) + CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 0), 6) AS f1,
+       ROUND(5.0 * tp / NULLIF(5.0 * tp + 4.0 * fn + fp, 0), 6) AS f2
+FROM agg
+"""
+
+    sql["calib_overlap"] = BASE_SQL + """
+, fl AS (
+  SELECT doc_id, pos, (value > 380) AS f,
+         ROW_NUMBER() OVER wp AS rn, COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM base WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+), wd AS (
+  SELECT doc_id, pos,
+         (rn > 1 AND rn <= n - 1 AND MAX(CASE WHEN f THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1) AS fw
+  FROM fl
+)
+SELECT CAST(CAST(doc_id AS BIGINT) % 5 AS BIGINT) AS site, pos,
+       (SUM(CASE WHEN fw THEN 1 ELSE 0 END) = COUNT(*)) AS all_calib
+FROM wd GROUP BY 1, 2
+"""
+
+    sql["const_threshold"] = BASE_SQL + f"""
+, r AS (
+  SELECT doc_id, pos, value - AVG(value) OVER (PARTITION BY doc_id) AS resid
+  FROM base
+), s AS (
+  SELECT doc_id, resid,
+         {Z_05} * STDDEV_SAMP(resid) OVER (PARTITION BY doc_id) AS hi
+  FROM r
+)
+SELECT doc_id,
+       ROUND(-MAX(hi), 6) AS low, ROUND(MAX(hi), 6) AS high,
+       CAST(SUM(CASE WHEN resid < -hi OR resid > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       CAST(SUM(CASE WHEN resid < -80.0 OR resid > 80.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scalar
+FROM s GROUP BY doc_id
+"""
+
+    sql["comp_roundtrip"] = BASE_SQL + f"""
+, q AS (
+  SELECT doc_id, pos,
+         CAST(round_even(value / 500.0 * 65535, 0) AS BIGINT) AS tok,
+         {T0_EPOCH} + pos * 60 AS tsec
+  FROM base
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((pos + 1) * tok) AS BIGINT) AS val_sum,
+       CAST(SUM((pos + 1) * tsec) AS BIGINT) AS ts_sum
+FROM q GROUP BY doc_id
+"""
+
+    sql["multimodal_features"] = """
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(fy.range * 8 + fx.range AS BIGINT) AS fi,
+       CAST((CAST(d.doc_id AS BIGINT) * 31 + (2 * fy.range) * 16 + (2 * fx.range) * 3) % 256 AS BIGINT) AS gval
+FROM documents d, range(8) fy, range(8) fx
 """
 
     # per-day edge candidates: day picked by max|edge| > threshold, the

@@ -39,6 +39,30 @@ from pyspark.sql.types import (
 FEATURE_DIM = 64
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM bytes (write side of decode_ppm)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes
+    (bottom-up rows, BGR on disk, 4-byte row padding)."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raster = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + dib + raster
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """P6 (binary) PPM → (h, w, 3) uint8. Pure bytes + numpy."""
     if not payload.startswith(b"P6"):
