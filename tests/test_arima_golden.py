@@ -76,3 +76,77 @@ def test_auto_order_detects_integration(series):
     p, d, q = arima.auto_order(x)
     assert d == 1
     assert p >= 1  # the AR structure must be seen
+
+
+# ------------------------------------------------------------- q=1 golden
+# The reference's site parameter files actually use MA terms
+# (`parameters.py:70-272`, e.g. pdq (1,1,1)/(0,1,4)); the CSS Gauss–Newton
+# polish after Hannan–Rissanen must recover them, not just AR structure.
+
+THETA = 0.5
+
+
+@pytest.fixture(scope="module")
+def series_q1():
+    rng = np.random.default_rng(20260817)
+    n = 2000
+    eps = rng.normal(0.0, SIGMA, n)
+    dy = np.zeros(n)
+    for t in range(1, n):
+        dy[t] = PHI * dy[t - 1] + eps[t] + THETA * eps[t - 1]
+    x = 100.0 + np.cumsum(dy)
+    return x, dy, eps
+
+
+def test_fit_recovers_arma11(series_q1):
+    x, _, _ = series_q1
+    _, _, (c, phi, theta, d) = arima.fit_arima(x, 1, 1, 1)
+    # CSS-polished estimates: well inside ±0.08 of the true (φ, θ) at
+    # n=2000 (HR alone is biased by ~2-3× this tolerance on MA terms)
+    assert abs(phi[0] - PHI) < 0.08, phi
+    assert abs(theta[0] - THETA) < 0.08, theta
+
+
+def test_one_step_tracks_true_arma11(series_q1):
+    x, dy, eps = series_q1
+    resid, pred, _ = arima.fit_arima(x, 1, 1, 1)
+    # golden one-step from the true parameters (true innovations known):
+    # Δx̂_t = φ·Δx_{t-1} + θ·ε_{t-1}
+    golden = x[1:-1] + PHI * dy[1:-1] + THETA * eps[1:-1]
+    err = pred[2:] - golden
+    assert float(np.sqrt(np.mean(err**2))) < 0.15 * SIGMA
+    assert 0.7 * SIGMA**2 < float(np.mean(resid[2:] ** 2)) < 1.3 * SIGMA**2
+
+
+def test_vectorized_innovations_match_loop():
+    """arma_one_step's ψ-filter fast path is output-identical to the
+    sequential recursion (which remains as the non-invertible fallback)."""
+    rng = np.random.default_rng(3)
+    for p, q in [(1, 1), (2, 1), (0, 2), (1, 2), (3, 2)]:
+        y = rng.normal(0, 1, 4000)
+        c = 0.05
+        phi = rng.uniform(-0.3, 0.3, p)
+        theta = rng.uniform(-0.45, 0.45, q)
+        e_vec = arima._arma_innovations(y, c, phi, theta)
+        assert e_vec is not None
+        # sequential reference recursion, inline to stay loop-exact
+        e = np.zeros(len(y))
+        for t in range(len(y)):
+            acc = c
+            for j in range(p):
+                if t - j - 1 >= 0:
+                    acc += phi[j] * y[t - j - 1]
+            for j in range(q):
+                if t - j - 1 >= 0:
+                    acc += theta[j] * e[t - j - 1]
+            e[t] = y[t] - acc
+        np.testing.assert_allclose(e_vec, e, atol=1e-10)
+
+
+def test_non_invertible_theta_falls_back():
+    """|θ| ≥ 1 (non-invertible MA) must still produce finite residuals via
+    the sequential fallback inside arma_one_step."""
+    y = np.sin(np.arange(200) * 0.1)
+    yhat, e = arima.arma_one_step(y, 0.0, np.zeros(0), np.array([-1.2]))
+    assert np.all(np.isfinite(e)) and np.all(np.isfinite(yhat))
+    assert arima._ma_invert(y, np.array([-1.2])) is None
