@@ -112,3 +112,52 @@ def test_streaming_merge_rewrites_only_touched_days(spark, tmp_path):
         got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_late_data_same_bucket_cross_batch_merge(spark, tmp_path):
+    """Late data for an EXISTING (doc, bucket): points arriving in a second
+    micro-batch must fold into already-stored cells exactly as if all
+    points arrived at once — the monoid-merge claim (streaming.py:13-16)
+    for cnt/sum/avg AND the non-additive min/max, within one bucket, not
+    just across days."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    # 1h buckets at 15min cadence -> 4 points per bucket; batch 1 covers
+    # two full buckets, batch 2 re-delivers 4 more points for the FIRST
+    # bucket (pos restarts at 0 -> same timestamps = same bucket)
+    b1 = pd.DataFrame(
+        {"doc_id": ["late-A"], "tokens": [[100, 900, 250, 400, 55, 66, 77, 88]],
+         "n_tok": [8], "source": ["s1"]}
+    )
+    b2 = pd.DataFrame(
+        {"doc_id": ["late-A"], "tokens": [[5000, 1, 300, 200]],
+         "n_tok": [4], "source": ["s1"]}
+    )
+    spark.createDataFrame(b1, schema=_tok_schema()).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir, tier_seconds=3600)
+    store = SnapshotTable(os.path.join(out_dir, "agg"))
+    first = store.read(spark).orderBy("bucket_start").toPandas()
+    assert first["cnt"].tolist() == [4, 4]
+
+    spark.createDataFrame(b2, schema=_tok_schema()).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir, tier_seconds=3600)
+
+    got = store.read(spark).orderBy("bucket_start").toPandas()
+    full = pd.concat([b1, b2], ignore_index=True)
+    exp = (
+        rollup_points(
+            explode_tokens(spark.createDataFrame(full, schema=_tok_schema())),
+            3600,
+            value_col="value",
+        )
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    # bucket 0 now holds 8 points (4 original + 4 late), incl. new min/max
+    assert got["cnt"].tolist() == [8, 4]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
+        check_dtype=False,
+    )
