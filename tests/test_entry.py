@@ -50,3 +50,16 @@ def test_query_matches_oracle(spark, con, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     assert QUERIES[name](spark, SF).count() >= 0
+
+
+def test_coverage_md_query_count_in_sync():
+    """COVERAGE.md's driver-contract count is pinned to queries() so the
+    doc can't drift from the code (r2 shipped a stale 41/41)."""
+    import os
+
+    n = len(entrymod.queries())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "COVERAGE.md")).read()
+    assert f"{n}/{n} queries" in text, f"COVERAGE.md out of sync with {n} queries"
+    # and every query is oracle-checked (the rows-only set must stay empty)
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
