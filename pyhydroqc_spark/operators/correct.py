@@ -90,12 +90,15 @@ def correct_series(
     ev, agrp = _widen_groups(np.asarray(event_vals), grp, min_group_len)
     det_cor = vals.copy()
     corrected = ev.copy()
-    limit = pd.Timedelta(days=model_limit_days)
+    # label-based DatetimeIndex slicing is the kernel's hot spot at scale;
+    # the same inclusive-endpoint semantics in int64 ns via searchsorted
+    ts_i8 = ts.asi8
+    limit_ns = pd.Timedelta(days=model_limit_days).value
 
     while ev.any():
         # shortest anomalous group next — ties broken the way pandas
         # value_counts orders them, which the reference relies on
-        # (`arima_correct.py:105`)
+        # (`arima_correct.py:105`); runs over only the anomalous subset
         i = int(pd.Series(agrp[ev]).value_counts().index.values[-1])
         gmask = agrp == i
         glen = int(gmask.sum())
@@ -104,14 +107,16 @@ def correct_series(
         yfor = ybac = None
         if i != 0:
             pm = agrp == (i - 1)
-            pre = pd.Series(vals[pm], index=ts[pm])
-            pre = pre[pre.index[-1] - limit : pre.index[-1]]
-            yfor = forecast_arima(pre.to_numpy(), glen, order=order)
+            pv, pt = vals[pm], ts_i8[pm]
+            # pre[last-limit : last] label slice = first index ≥ lower bound
+            start = int(np.searchsorted(pt, pt[-1] - limit_ns, side="left"))
+            yfor = forecast_arima(pv[start:], glen, order=order)
         if i != gmax:
             qm = agrp == (i + 1)
-            post = pd.Series(vals[qm], index=ts[qm])
-            post = post[post.index[0] : post.index[0] + limit]
-            ybac = np.flip(forecast_arima(np.flip(post.to_numpy()), glen, order=order))
+            qv, qt = vals[qm], ts_i8[qm]
+            # post[first : first+limit] label slice = last index ≤ upper bound
+            end = int(np.searchsorted(qt, qt[0] + limit_ns, side="right"))
+            ybac = np.flip(forecast_arima(np.flip(qv[:end]), glen, order=order))
 
         if yfor is None and ybac is None:
             # whole series anomalous — leave as-is, terminate (see module doc)

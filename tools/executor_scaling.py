@@ -56,6 +56,7 @@ def run_fleet(k: int) -> float:
             BENCH_SHARD_IDX=str(i),
             BENCH_BARRIER_FILE=barrier,
             BENCH_PIPELINE_ONLY="1",
+            BENCH_REPS="1",
             SPARK_DRIVER_MEM="5g",
         )
         procs.append(

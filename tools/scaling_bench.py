@@ -51,6 +51,7 @@ def run_pipeline_once(cpus: int) -> float:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_POINTS=str(POINTS),
         BENCH_PIPELINE_ONLY="1",
+        BENCH_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
