@@ -804,6 +804,15 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_hot_tokens(spark, sf_dir):
+    """The jaccard skew guard's drop set, surfaced as a first-class query
+    (no silent caps): tokens present in more than max_doc_freq of all
+    documents — exactly what `jaccard_pairs` excludes from its token join."""
+    from pyhydroqc_spark.textops import dedup
+
+    return dedup.hot_tokens(_docs(spark, sf_dir), 0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_counts": q_range_counts,
@@ -853,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "const_threshold": q_const_threshold,
         "comp_roundtrip": q_comp_roundtrip,
         "multimodal_features": q_multimodal_features,
+        "hot_tokens": q_hot_tokens,
     }
 
 
@@ -1693,6 +1703,16 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM((pos + 1) * tok) AS BIGINT) AS val_sum,
        CAST(SUM((pos + 1) * tsec) AS BIGINT) AS ts_sum
 FROM q GROUP BY doc_id
+"""
+
+    sql["hot_tokens"] = r"""
+WITH w0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS w
+  FROM documents
+)
+SELECT w FROM w0 GROUP BY w
+HAVING COUNT(DISTINCT doc_id) > 0.2 * (SELECT COUNT(*) FROM documents)
 """
 
     sql["multimodal_features"] = """

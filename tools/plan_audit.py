@@ -161,6 +161,18 @@ def main():
         "operators, no joins, no post-aggregation.",
     )
 
+    # 8. the zero-shuffle form: with balanced series-complete input files
+    # the kernel needs NO exchange at all (rows are whole series; the map
+    # is row-independent) — the bench default since round 3
+    audit(
+        "fused_tokens_to_cells (zero-shuffle)",
+        fused_tokens_to_cells(tok),
+        must=[r"MapInPandas"],
+        must_not=[r"Exchange", r"SortMergeJoin", r"Window"],
+        note="scan → kernel → cells with no wide edge of any kind: the "
+        "100 TB token table never crosses a shuffle boundary.",
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(report) + "\n")
