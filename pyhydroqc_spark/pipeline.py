@@ -53,11 +53,18 @@ def run_pipeline(
     n_partitions: int | None = None,
     fail_after: int | None = None,
     mode: str = "native",
+    repartition_input: bool = True,
 ) -> PipelineResult:
     """Process all pending input partitions; idempotent and resumable.
 
     ``fail_after`` is a test hook: raise after N partitions to simulate a
     killed job.
+
+    ``repartition_input=False`` (fused_cells only) skips the doc_id
+    exchange entirely: each input row is a complete series (token-table
+    contract) and the cell kernel is row-independent, so when the input
+    files are already balanced and sanely sized the job has NO full-data
+    shuffle. Keep the default for unknown/skewed file layouts.
     """
     p = params or DEFAULT_PARAMS
     run_id = run_id or uuid.uuid4().hex[:8]
@@ -103,7 +110,7 @@ def run_pipeline(
         n_points = _process_partition(
             spark, tok, part, p, tiers, tier_tables, comp_table,
             arima_order, with_model_detect, n_partitions, mode,
-            tier_comp_tables,
+            tier_comp_tables, repartition_input,
         )
         ckpt.write(
             run_id, stage, part, in_snap, n_points,
@@ -120,7 +127,7 @@ def run_pipeline(
 def _process_partition(
     spark, tok, part, p, tiers, tier_tables, comp_table,
     arima_order, with_model_detect, n_partitions, mode="native",
-    tier_comp_tables=None,
+    tier_comp_tables=None, repartition_input=True,
 ) -> int:
     if mode == "fused_cells":
         # bandwidth-optimal: token arrays straight into the kernel, finished
@@ -130,8 +137,9 @@ def _process_partition(
         from .operators.fused import fused_tokens_to_cells
 
         tiers_sorted = sorted(tiers)
+        src = repartition_series(tok, n_partitions) if repartition_input else tok
         cells = fused_tokens_to_cells(
-            repartition_series(tok, n_partitions), p,
+            src, p,
             tier_seconds=tuple(tiers_sorted), arima_order=arima_order,
         ).cache()
         try:

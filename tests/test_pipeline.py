@@ -187,3 +187,24 @@ def test_tier_blob_compression_roundtrips(spark, tmp_path, mode):
             np.testing.assert_array_equal(ts, exp_ts)
             exp_toks = quantize(grp["avg_val"].to_numpy(dtype=float), VAL_LO, VAL_HI)
             np.testing.assert_array_equal(toks, exp_toks)
+
+
+def test_fused_cells_zero_shuffle_equals_repartitioned(spark, tmp_path):
+    """mode='fused_cells' with repartition_input=False (the zero-shuffle
+    plan: scan -> kernel, no exchange) produces identical tier tables to
+    the default repartitioned run."""
+    outs = {}
+    for flag in (True, False):
+        tmp = str(tmp_path / f"rep_{flag}")
+        tbl, _ = _input_table(spark, tmp, n_series=4, n_tok=800, seed=5)
+        out = os.path.join(tmp, "out")
+        P.run_pipeline(spark, tbl, out, PARAMS, arima_order=(1, 1, 0),
+                       with_model_detect=True, with_compression=False,
+                       mode="fused_cells", repartition_input=flag)
+        outs[flag] = {t: _read_tier(spark, out, t) for t in (900, 3600, 86400)}
+    for t in (900, 3600, 86400):
+        pd.testing.assert_frame_equal(
+            outs[True][t].reset_index(drop=True),
+            outs[False][t].reset_index(drop=True),
+            check_exact=False, atol=1e-9,
+        )
