@@ -48,6 +48,44 @@ def _merge_cells(existing: DataFrame | None, incoming: DataFrame) -> DataFrame:
     )
 
 
+def merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    agg_path: str,
+    tier_seconds: int = 900,
+    value_col: str = "value",
+) -> bool:
+    """Cell-scoped MERGE of one micro-batch: read ONLY the day-partitions
+    the batch touches, fold the batch's partial aggregates in, and
+    atomically replace just those partitions via
+    ``SnapshotTable.overwrite_partitions``. Per-batch cost is O(touched
+    cells), not O(store size).
+
+    IDEMPOTENT under foreachBatch's at-least-once delivery: the batch id
+    rides the atomic snapshot commit (manifest ``extra``), and a batch whose
+    id is ≤ the last committed one is a retry of work already folded in —
+    it must be skipped, or cnt/sum would double. Returns True if the batch
+    was applied, False if it was recognized as a replay."""
+    spark = batch_df.sparkSession
+    store = SnapshotTable(agg_path)
+    last = store.snapshot_extra().get("stream_batch_id")
+    if last is not None and batch_id <= int(last):
+        return False
+    incoming = rollup_points(batch_df, tier_seconds, value_col=value_col).withColumn(
+        "day", F.date_format("bucket_start", "yyyy-MM-dd")
+    ).persist()
+    days = {r["day"] for r in incoming.select("day").distinct().collect()}
+    hit_files = store.files_for_partitions(days)
+    if hit_files:
+        existing = spark.read.parquet(*hit_files)
+        merged = _merge_cells(existing, incoming)
+    else:
+        merged = incoming
+    store.overwrite_partitions(merged, "day", extra={"stream_batch_id": int(batch_id)})
+    incoming.unpersist()
+    return True
+
+
 def run_streaming_rollup(
     spark: SparkSession,
     input_dir: str,
@@ -60,6 +98,12 @@ def run_streaming_rollup(
     ``Trigger.AvailableNow`` processes everything pending then stops —
     the scheduled-job shape of "continuous aggregates maintained
     incrementally as new partitions land".
+
+    The aggregate store and the stream checkpoint live and die together:
+    batch ids (which make the merge idempotent under retries) are scoped to
+    the checkpoint, so pointing a FRESH checkpoint at an existing store
+    would replay ids from 0 and be skipped as duplicates — wipe both or
+    neither.
     """
     agg_path = os.path.join(out_dir, "agg")
     ckpt_path = os.path.join(out_dir, "_stream_checkpoint")
@@ -72,25 +116,7 @@ def run_streaming_rollup(
     long_df = explode_tokens(stream)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        """Cell-scoped MERGE: read ONLY the day-partitions the micro-batch
-        touches, fold the batch's partial aggregates in, and atomically
-        replace just those partitions (SnapshotTable.overwrite_partitions).
-        Per-batch cost is O(touched cells), not O(store size), and the
-        snapshot commit replaces the old tmp-dir double write."""
-        spark = batch_df.sparkSession
-        incoming = rollup_points(batch_df, tier_seconds, value_col=value_col).withColumn(
-            "day", F.date_format("bucket_start", "yyyy-MM-dd")
-        ).persist()
-        days = {r["day"] for r in incoming.select("day").distinct().collect()}
-        store = SnapshotTable(agg_path)
-        hit_files = store.files_for_partitions(days)
-        if hit_files:
-            existing = spark.read.parquet(*hit_files)
-            merged = _merge_cells(existing, incoming)
-        else:
-            merged = incoming
-        store.overwrite_partitions(merged, "day")
-        incoming.unpersist()
+        merge_batch(batch_df, batch_id, agg_path, tier_seconds, value_col)
 
     q = (
         long_df.writeStream.foreachBatch(process_batch)

@@ -57,10 +57,15 @@ class SnapshotTable:
         with open(self._snap_path(sid)) as f:
             return json.load(f)
 
-    def _commit(self, files: dict) -> int:
+    def _commit(self, files: dict, extra: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         sid = parent + 1
         snap = {"id": sid, "parent": parent, "files": files}
+        if extra:
+            # application metadata rides the atomic manifest write (Iceberg
+            # snapshot-summary analogue) — e.g. the streaming batch id that
+            # makes foreachBatch merges idempotent under retries
+            snap["extra"] = dict(extra)
         tmp = self._snap_path(sid) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -100,7 +105,15 @@ class SnapshotTable:
             files[fp] = partition
         return self._commit(files)
 
-    def overwrite_partitions(self, df: DataFrame, partition_col: str) -> int:
+    def snapshot_extra(self, snapshot_id: int | None = None) -> dict:
+        """Application metadata attached to a snapshot commit (empty dict
+        when none was recorded)."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        return self._load(sid).get("extra", {})
+
+    def overwrite_partitions(
+        self, df: DataFrame, partition_col: str, extra: dict | None = None
+    ) -> int:
         """Dynamic partition overwrite (Iceberg ``replaceWhere`` analogue):
         ONE Spark write job partitioned on ``partition_col``; only the
         partitions actually present in ``df`` are replaced, everything else
@@ -134,7 +147,7 @@ class SnapshotTable:
             if p not in touched
         }
         files.update(new_files)
-        return self._commit(files)
+        return self._commit(files, extra=extra)
 
     # -- reads ----------------------------------------------------------------
 

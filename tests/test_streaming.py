@@ -161,3 +161,30 @@ def test_late_data_same_bucket_cross_batch_merge(spark, tmp_path):
         got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_foreachbatch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch delivers at-least-once: a retried micro-batch (same
+    batch id) must NOT fold into the cells twice. The batch id rides the
+    atomic snapshot commit, so the replay is recognized and skipped."""
+    agg_path = os.path.join(str(tmp_path), "agg")
+    pdf = pd.DataFrame(
+        {"doc_id": ["r-A"], "tokens": [[100, 200, 300, 400]],
+         "n_tok": [4], "source": ["s1"]}
+    )
+    batch = explode_tokens(spark.createDataFrame(pdf, schema=_tok_schema()))
+
+    assert streaming.merge_batch(batch, 0, agg_path, tier_seconds=3600) is True
+    store = SnapshotTable(agg_path)
+    once = store.read(spark).orderBy("bucket_start").toPandas()
+    assert once["cnt"].tolist() == [4]
+
+    # retry of the SAME batch id: skipped, store byte-identical
+    assert streaming.merge_batch(batch, 0, agg_path, tier_seconds=3600) is False
+    again = store.read(spark).orderBy("bucket_start").toPandas()
+    pd.testing.assert_frame_equal(once, again)
+
+    # the next real batch still applies
+    assert streaming.merge_batch(batch, 1, agg_path, tier_seconds=3600) is True
+    final = store.read(spark).orderBy("bucket_start").toPandas()
+    assert final["cnt"].tolist() == [8]
