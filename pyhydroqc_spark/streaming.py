@@ -48,6 +48,39 @@ def _merge_cells(existing: DataFrame | None, incoming: DataFrame) -> DataFrame:
     )
 
 
+def merge_batch_tiers(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    tiers,
+    value_col: str = "value",
+) -> int:
+    """Multi-tier continuous aggregates: fold one micro-batch into EVERY
+    retention tier's store (``agg_{t}s``). The finest tier aggregates the
+    raw batch; coarser tiers re-aggregate the finest tier's PARTIAL cells
+    (cnt/sum/min/max are monoids, so partials of partials are exact) — the
+    batch is scanned once regardless of tier count. Each store commits its
+    own batch id, so a crash between tier commits replays safely: finished
+    tiers skip, unfinished tiers apply. Returns how many tiers applied."""
+    from .operators.rollup import rollup_from_rollup
+
+    tiers_sorted = sorted(int(t) for t in tiers)
+    finest = rollup_points(batch_df, tiers_sorted[0], value_col=value_col).persist()
+    applied = 0
+    try:
+        agg = finest
+        for t in tiers_sorted:
+            if t != tiers_sorted[0]:
+                agg = rollup_from_rollup(agg.drop("tier"), t)
+            applied += _merge_cells_into(
+                batch_df.sparkSession, agg, batch_id,
+                os.path.join(out_dir, f"agg_{t}s"),
+            )
+    finally:
+        finest.unpersist()
+    return applied
+
+
 def merge_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -66,12 +99,20 @@ def merge_batch(
     id is ≤ the last committed one is a retry of work already folded in —
     it must be skipped, or cnt/sum would double. Returns True if the batch
     was applied, False if it was recognized as a replay."""
-    spark = batch_df.sparkSession
+    cells = rollup_points(batch_df, tier_seconds, value_col=value_col)
+    return bool(
+        _merge_cells_into(batch_df.sparkSession, cells, batch_id, agg_path)
+    )
+
+
+def _merge_cells_into(spark, cells: DataFrame, batch_id: int, agg_path: str) -> int:
+    """Fold partial cells into one tier store (see merge_batch for the
+    idempotence contract). Returns 1 if applied, 0 if replay-skipped."""
     store = SnapshotTable(agg_path)
     last = store.snapshot_extra().get("stream_batch_id")
     if last is not None and batch_id <= int(last):
-        return False
-    incoming = rollup_points(batch_df, tier_seconds, value_col=value_col).withColumn(
+        return 0
+    incoming = cells.withColumn(
         "day", F.date_format("bucket_start", "yyyy-MM-dd")
     ).persist()
     days = {r["day"] for r in incoming.select("day").distinct().collect()}
@@ -83,17 +124,21 @@ def merge_batch(
         merged = incoming
     store.overwrite_partitions(merged, "day", extra={"stream_batch_id": int(batch_id)})
     incoming.unpersist()
-    return True
+    return 1
 
 
 def run_streaming_rollup(
     spark: SparkSession,
     input_dir: str,
     out_dir: str,
-    tier_seconds: int = 900,
+    tier_seconds=900,
     value_col: str = "value",
 ) -> None:
-    """Drain new token files → 15min rollup cells → merge into out_dir.
+    """Drain new token files → rollup cells → merge into out_dir.
+
+    ``tier_seconds`` may be one tier (store ``agg``) or a tuple of tiers
+    (one store per tier, ``agg_{t}s`` — ALL retention tiers maintained
+    continuously from the same single scan of each micro-batch).
 
     ``Trigger.AvailableNow`` processes everything pending then stops —
     the scheduled-job shape of "continuous aggregates maintained
@@ -116,7 +161,10 @@ def run_streaming_rollup(
     long_df = explode_tokens(stream)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch(batch_df, batch_id, agg_path, tier_seconds, value_col)
+        if isinstance(tier_seconds, (tuple, list, set)):
+            merge_batch_tiers(batch_df, batch_id, out_dir, tier_seconds, value_col)
+        else:
+            merge_batch(batch_df, batch_id, agg_path, tier_seconds, value_col)
 
     q = (
         long_df.writeStream.foreachBatch(process_batch)

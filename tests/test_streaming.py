@@ -188,3 +188,36 @@ def test_foreachbatch_retry_is_idempotent(spark, tmp_path):
     assert streaming.merge_batch(batch, 1, agg_path, tier_seconds=3600) is True
     final = store.read(spark).orderBy("bucket_start").toPandas()
     assert final["cnt"].tolist() == [8]
+
+
+def test_multi_tier_streaming_matches_batch(spark, tmp_path):
+    """tier_seconds as a tuple maintains EVERY retention tier continuously:
+    after two incremental drains, each agg_{t}s store equals the one-shot
+    batch rollup at that tier (coarse tiers fold partials across batches)."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    tiers = (900, 3600, 86400)
+
+    pdf = gen_token_table(n_series=3, n_tok=600, seed=13)
+    b1, b2 = pdf.iloc[:2], pdf.iloc[2:]
+    spark.createDataFrame(b1, schema=_tok_schema()).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir, tier_seconds=tiers)
+    spark.createDataFrame(b2, schema=_tok_schema()).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir, tier_seconds=tiers)
+
+    full = explode_tokens(spark.createDataFrame(pdf, schema=_tok_schema()))
+    for t in tiers:
+        got = (
+            SnapshotTable(os.path.join(out_dir, f"agg_{t}s"))
+            .read(spark).orderBy("doc_id", "bucket_start").toPandas()
+        )
+        exp = (
+            rollup_points(full, t, value_col="value")
+            .orderBy("doc_id", "bucket_start")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
+            check_dtype=False,
+        )
