@@ -723,8 +723,15 @@ def q_comp_roundtrip(spark, sf_dir):
     from pyhydroqc_spark.compression import decode_series_blob, encode_series_blob
     from pyhydroqc_spark.quantize import quantize
 
-    df = _events_cadenced(spark, sf_dir).select(
-        "doc_id", "pos", F.unix_timestamp("ts").alias("tsec"), "value"
+    # explicit hash repartition: the codec kernel is CPU-heavy per series
+    # while the shuffle is tiny by BYTES, so AQE's coalescing would fold
+    # the grouped-map stage into one task; a user repartition pins the
+    # parallelism (EnsureRequirements then elides the groupBy exchange)
+    n = spark.sparkContext.defaultParallelism
+    df = (
+        _events_cadenced(spark, sf_dir)
+        .select("doc_id", "pos", F.unix_timestamp("ts").alias("tsec"), "value")
+        .repartition(n, "doc_id")
     )
     schema = StructType(
         [

@@ -222,6 +222,9 @@ def main():
         "rollup_15min", "range_counts", "interpolated", "dynamic_threshold",
         "anomaly_events", "tokenize_stats", "dedup_wordset", "ann_topk",
         "text_stats",
+        # r3 additions: the LSH/codec-heavy surfaces
+        "minhash_candidates", "simhash_pairs", "lsh_topk",
+        "comp_roundtrip", "multimodal_features",
     ]
     if query_names:
         import __spark_entry__ as entrymod

@@ -96,7 +96,14 @@ def md5_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
 
 
 def bucket_ids(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket key: bit j = sign(v·h_j). Pure column expression."""
+    """Sign-bit bucket key: bit j = sign(v·h_j). Pure column expression.
+
+    Kept as the `zip_with`/`aggregate` HOF dot on purpose: unrolling the
+    literal planes into element_at·weight chains (n_planes × dim terms)
+    was measured 6-10× SLOWER — the giant expression tree blows past the
+    codegen method-size limits and falls back to interpreted eval of
+    thousands of nodes per row, while the HOF loop stays one compact
+    interpreted loop."""
     bits = [
         F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) >= 0, 1).otherwise(0)
         for h in planes
@@ -247,17 +254,18 @@ def _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source):
 
 
 def _with_buckets(d: DataFrame, tables, id_col: str, vec_col: str, idc: str) -> DataFrame:
-    """(idc, __<idc>_v, table, bucket) — one row per (vector, hash table)."""
-    from functools import reduce
+    """(idc, table, bucket) — one row per (vector, hash table), ids only.
 
-    out = d.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"__{idc}_v"))
-    rows = [
-        out.withColumn("table", F.lit(t)).withColumn(
-            "bucket", bucket_ids(f"__{idc}_v", planes)
-        )
-        for t, planes in enumerate(tables)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), rows)
+    ONE scan and one projection: all tables' bucket keys are computed in a
+    single array then posexploded (a per-table union would rescan the
+    input n_tables times). Vectors deliberately do NOT ride along — the
+    candidate join and pair dedup work on ids, and callers re-join vectors
+    only for the final exact rerank (at 10^9 rows the difference is
+    shipping 8 B/candidate instead of 8+4·dim B)."""
+    buckets = F.array(*[bucket_ids(vec_col, planes) for planes in tables])
+    return d.select(
+        F.col(id_col).alias(idc), F.posexplode(buckets).alias("table", "bucket")
+    )
 
 
 def cosine_dup_pairs(
@@ -288,17 +296,21 @@ def cosine_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__id_v").alias("__va"),
-            F.col("b.__id_v").alias("__vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+    # id-only candidates through the bucket join + dedup; vectors re-join
+    # once per side for the exact rerank
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        )
     )
     return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
@@ -335,13 +347,25 @@ def lsh_topk(
     cand = (
         base_b.join(F.broadcast(q_b), on=["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__neighbor_id_v", "__query_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        _dot(F.col("__neighbor_id_v"), F.col("__query_id_v"))
-        / (_norm(F.col("__neighbor_id_v")) * _norm(F.col("__query_id_v"))),
+    # vectors join the plan only AFTER candidate dedup — the bucket join
+    # and distinct ship two longs per row, not 4·dim bytes of floats
+    nvec = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__nv"), F.col("__qv"))
+            / (_norm(F.col("__nv")) * _norm(F.col("__qv"))),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

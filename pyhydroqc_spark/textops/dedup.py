@@ -279,18 +279,34 @@ def banded_buckets(
 def minhash_candidates(
     sig_df: DataFrame, bands: int = 8, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (id_a < id_b under the id type's natural ordering).
+
+    Physical shape: ONE aggregation on (band, bucket) + in-bucket pair
+    enumeration via array HOFs — the signature/banding subtree is computed
+    once, unlike a bucket self-join whose two join inputs each re-derive
+    it. Bucket member lists are near-dup-sized by construction; a
+    pathological hot bucket shows up as one big task, the cue to raise
+    ``bands`` (more, narrower buckets), not to cap silently."""
     banded = banded_buckets(sig_df, bands, hash_fn)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -357,21 +373,41 @@ def simhash_candidates(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
         ]
     )
     banded = sig_df.select("id", "simhash", F.posexplode(quarters).alias("q", "qv"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # one aggregation + in-bucket pair enumeration (struct array_sort orders
+    # by id, so x < y positionally) — the signature subtree is computed
+    # once, not re-derived per self-join input. The explicit repartition
+    # pins the bucket stage's parallelism: the banded rows are tiny by
+    # BYTES (AQE would coalesce to one task) while the signature fold
+    # feeding them is CPU-heavy.
+    n = sig_df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n, "q", "qv")
+    grouped = (
+        banded.groupBy("q", "qv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    combos = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("h_a"),
+                    y["simhash"].alias("h_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qv") == F.col("b.qv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
         .distinct()
     )
     return (
