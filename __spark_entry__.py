@@ -242,13 +242,21 @@ def _events_cadenced(spark, sf_dir):
     )
 
 
+def _pin(spark, df):
+    """Explicit doc_id repartition before CPU-heavy grouped kernels: these
+    stages are tiny by BYTES at gate scale, so AQE's partition coalescing
+    would serialize them onto one task (user repartitions are exempt and
+    EnsureRequirements elides the grouped-map exchange)."""
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def q_find_gaps(spark, sf_dir):
     """Calibration gap finder (reference find_gap): per-doc candidate at
     pos 40, ±2h window, largest-jump + spike rule — the grouped pandas
     kernel, oracle-checked in SQL."""
     from pyhydroqc_spark.operators import calibration
 
-    ser = _events_cadenced(spark, sf_dir).withColumnRenamed("value", "observed")
+    ser = _pin(spark, _events_cadenced(spark, sf_dir).withColumnRenamed("value", "observed"))
     cands = ser.where(F.col("pos") == 40).select(
         "doc_id", F.col("ts").alias("candidate")
     )
@@ -266,7 +274,7 @@ def q_drift_correct(spark, sf_dir):
     kernel; the oracle uses the additive closed form."""
     from pyhydroqc_spark.operators import calibration
 
-    ser = _events_cadenced(spark, sf_dir).withColumnRenamed("value", "observed")
+    ser = _pin(spark, _events_cadenced(spark, sf_dir).withColumnRenamed("value", "observed"))
     docs = ser.select("doc_id").distinct()
     ev = docs.select(
         "doc_id",
@@ -464,7 +472,7 @@ def q_windowed_detect_counts(spark, sf_dir):
     closed-form 2-lag OLS head so DuckDB can replay the whole chain."""
     from pyhydroqc_spark.operators import threshold, windowed_detect
 
-    df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
+    df = _pin(spark, _events_long(spark, sf_dir).withColumnRenamed("value", "observed"))
     out = windowed_detect.windowed_regression_residuals(
         df, "observed", time_steps=2, intercept=False, ridge=0.0
     )
@@ -553,7 +561,13 @@ def q_point_metrics(spark, sf_dir):
     """Full comparison workflow gated end-to-end: labels (value>420) and
     detections (value>400) → widened events → compare_events state machine
     (group merge + exit-only categorization + trailing-group quirk) →
-    point confusion metrics. One global row."""
+    point confusion metrics. One global row.
+
+    Deliberately runs the sequential grouped-map KERNEL (the clean-room
+    reference twin); the production/scale path is the pure-Window
+    compare_events_sql, gated separately by `event_metrics` (~14× faster
+    here). At gate scale AQE coalesces this CPU-heavy-but-tiny chain; the
+    kernel stays correctness-first by design."""
     from pyhydroqc_spark.operators import events, metrics
 
     df = (
@@ -563,7 +577,7 @@ def q_point_metrics(spark, sf_dir):
     )
     df = events.anomaly_events(df, "labeled", wf=1, out_col="labeled_event")
     df = events.anomaly_events(df, "det", wf=1, out_col="detected_event")
-    cm = metrics.compare_events(df, wf=1)
+    cm = metrics.compare_events(_pin(spark, df), wf=1)
     out = metrics.point_metrics(cm)
     return out.select(
         F.col("tp").cast("long").alias("tp"),

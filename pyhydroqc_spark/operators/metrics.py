@@ -45,17 +45,22 @@ def _compare_one(labeled: np.ndarray, detected: np.ndarray, wf: int) -> np.ndarr
         prev_la, prev_da = la, da
 
     cm = np.full(n, "tn", dtype=object)
-    # categorize every group except the last (reference assigns on exit only)
-    for g in range(gi):
-        m = grp == g
-        has_d = detected[m].any()
-        has_l = labeled[m].any()
+    # categorize every group except the last (reference assigns on exit
+    # only). Group ids are nondecreasing (cumsum), so each group is a
+    # contiguous slice — O(n) total instead of an O(n·G) mask rescan.
+    starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+    ends = np.r_[starts[1:], n]
+    for s, e in zip(starts, ends):
+        if grp[s] >= gi:  # trailing group: never categorized
+            continue
+        has_d = detected[s:e].any()
+        has_l = labeled[s:e].any()
         if not (has_d or has_l):
             continue
         val = "tp" if (has_d and has_l) else ("fp" if has_d else "fn")
-        idx = np.flatnonzero(m)
-        inner = idx[wf : len(idx) - wf]
-        cm[inner] = val
+        lo, hi = s + wf, e - wf
+        if hi > lo:
+            cm[lo:hi] = val
     return cm
 
 
