@@ -98,8 +98,20 @@ def correct_series(
     while ev.any():
         # shortest anomalous group next — ties broken the way pandas
         # value_counts orders them, which the reference relies on
-        # (`arima_correct.py:105`); runs over only the anomalous subset
-        i = int(pd.Series(agrp[ev]).value_counts().index.values[-1])
+        # (`arima_correct.py:105`). Fast path: when ONE group strictly has
+        # the minimum count the pick is unambiguous (numpy bincount); the
+        # pandas call — whose tie order comes from an unstable sort over
+        # hashtable insertion order and can't be replicated — runs only on
+        # actual ties, preserving exact reference behavior.
+        sub = agrp[ev]
+        counts = np.bincount(sub)
+        present = np.flatnonzero(counts)
+        mcount = counts[present].min()
+        mins = present[counts[present] == mcount]
+        if len(mins) == 1:
+            i = int(mins[0])
+        else:
+            i = int(pd.Series(sub).value_counts().index.values[-1])
         gmask = agrp == i
         glen = int(gmask.sum())
         gmax = int(agrp.max())
