@@ -834,6 +834,22 @@ def q_hot_tokens(spark, sf_dir):
     return dedup.hot_tokens(_docs(spark, sf_dir), 0.2)
 
 
+def q_dup_components(spark, sf_dir):
+    """Dedup keep-list: connected components over the (skew-guarded word)
+    jaccard near-dup pairs — min-id per component, one canonical keeper.
+    The iterative min-label propagation vs DuckDB's recursive transitive
+    closure."""
+    from pyhydroqc_spark.textops import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    out = dedup.dup_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_counts": q_range_counts,
@@ -884,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_roundtrip": q_comp_roundtrip,
         "multimodal_features": q_multimodal_features,
         "hot_tokens": q_hot_tokens,
+        "dup_components": q_dup_components,
     }
 
 
@@ -1734,6 +1751,45 @@ WITH w0 AS (
 )
 SELECT w FROM w0 GROUP BY w
 HAVING COUNT(DISTINCT doc_id) > 0.2 * (SELECT COUNT(*) FROM documents)
+"""
+
+    sql["dup_components"] = r"""
+WITH w0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS wd
+  FROM documents
+), hot AS (
+  SELECT wd FROM w0 GROUP BY wd
+  HAVING COUNT(DISTINCT doc_id) > 0.5 * (SELECT COUNT(*) FROM documents)
+), w AS (
+  SELECT * FROM w0 WHERE wd NOT IN (SELECT wd FROM hot)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+  FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+  GROUP BY ia, ib
+), p AS (
+  SELECT ia AS id_a, ib AS id_b FROM c
+  JOIN sz sa ON sa.doc_id = ia
+  JOIN sz sb ON sb.doc_id = ib
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT a AS src, a AS dst FROM e
+  UNION
+  SELECT src, b FROM (
+    WITH RECURSIVE r(src, dst) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+    ) SELECT src, dst AS b FROM r
+  )
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS component,
+       (src = MIN(dst)) AS keep
+FROM reach GROUP BY src
 """
 
     sql["multimodal_features"] = """

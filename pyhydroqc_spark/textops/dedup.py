@@ -173,6 +173,71 @@ def jaccard_pairs(
     return out
 
 
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → canonical keep-list.
+
+    The step that turns pairwise dedup output (jaccard / minhash / simhash
+    / cosine pairs) into an actionable drop set: every doc gets the MINIMUM
+    id reachable through the dup graph as its ``component``, and the one
+    doc per component with ``keep = true`` is the canonical survivor.
+
+    Physical shape: iterative min-label propagation (the standard
+    Spark/GraphX pattern — each round joins labels to the undirected edge
+    list and takes the neighborhood min; convergence in O(graph diameter)
+    rounds, and dup clusters are shallow by construction). Each round is
+    one shuffle on the id; the loop stops early when a round changes no
+    label (one count per round — the iterative-algorithm exception to the
+    no-eager rule, bounded by ``max_iter``).
+
+    Returns (doc_id, component, keep). Docs that appear in no pair are
+    absent from the output (they are trivially their own component and
+    keep=true — left-join the corpus if a full keep-list is needed).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__chg"),
+            )
+        ).persist()
+        updated.count()  # fully materialize BEFORE dropping the parent cache
+        changed = updated.where(F.col("__chg")).limit(1).count()
+        labels.unpersist()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+    return out
+
+
 MERSENNE31 = (1 << 31) - 1  # universal-hash modulus (prime)
 
 

@@ -389,3 +389,30 @@ def test_real_decode_through_spark(spark):
     assert all(len(v) == multimodal.FEATURE_DIM for v in feats)
     assert np.allclose(feats["white"], 1.0) and np.allclose(feats["black"], 0.0)
     assert int(np.argmax(feats["tone"])) == _tone_band(1000.0, 8000, 4096)
+
+
+def test_dup_components_keep_list(spark):
+    """Chains, triangles, and disjoint pairs all collapse to min-id
+    components with exactly one keep per component."""
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import dedup
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+                "id_a": [1, 2, 3, 10, 10, 11, 20],
+                "id_b": [2, 3, 4, 11, 12, 12, 21],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup.dup_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }
