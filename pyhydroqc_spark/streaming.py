@@ -109,7 +109,10 @@ def _merge_cells_into(spark, cells: DataFrame, batch_id: int, agg_path: str) -> 
     """Fold partial cells into one tier store (see merge_batch for the
     idempotence contract). Returns 1 if applied, 0 if replay-skipped."""
     store = SnapshotTable(agg_path)
-    last = store.snapshot_extra().get("stream_batch_id")
+    # walk the snapshot lineage, not just the current snapshot: an
+    # interleaved non-stream commit (append / retention) would otherwise
+    # hide the streaming high-water mark and a retry would double-count
+    last = store.latest_extra_value("stream_batch_id")
     if last is not None and batch_id <= int(last):
         return 0
     incoming = cells.withColumn(

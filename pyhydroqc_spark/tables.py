@@ -33,6 +33,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _manifest_sid(path: str) -> int:
+    """Snapshot id from a manifest filename. ``v{sid:05d}.json`` is
+    ZERO-PADDED, not fixed-width: past sid 99999 the name widens to six
+    digits, so parse everything between the ``v`` and the extension — a
+    fixed ``[1:6]`` slice would read ``v100000.json`` as 10000 and
+    retention would delete the CURRENT manifest."""
+    return int(os.path.basename(path)[1:].split(".", 1)[0])
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -110,6 +119,30 @@ class SnapshotTable:
         when none was recorded)."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         return self._load(sid).get("extra", {})
+
+    def latest_extra_value(self, key: str):
+        """Most recent value recorded for ``key`` across the snapshot
+        lineage, walking parent pointers from the current snapshot. Needed
+        because ``extra`` is per-snapshot (Iceberg snapshot-summary
+        semantics): an interleaved non-stream commit (append, retention
+        drop) carries no ``stream_batch_id``, and reading only the CURRENT
+        snapshot would forget the streaming high-water mark and let a
+        foreachBatch retry double-fold a batch. Walk cost is bounded by the
+        commits since the key was last written — one JSON read each.
+        Returns None if no lineage snapshot carries the key (including when
+        older manifests were compacted away by rewrite_manifests before the
+        key ever appeared)."""
+        sid = self.current_snapshot_id()
+        while sid:
+            try:
+                snap = self._load(sid)
+            except FileNotFoundError:
+                return None  # compacted past — no record survives
+            extra = snap.get("extra", {})
+            if key in extra:
+                return extra[key]
+            sid = snap.get("parent") or 0
+        return None
 
     def overwrite_partitions(
         self, df: DataFrame, partition_col: str, extra: dict | None = None
@@ -205,12 +238,40 @@ class SnapshotTable:
         that. Returns the number of manifests removed."""
         cur = self.current_snapshot_id()
         keep = set(range(max(1, cur - keep_last + 1), cur + 1))
-        removed = 0
-        for path in glob.glob(os.path.join(self.snap_dir, "v*.json")):
-            if int(os.path.basename(path)[1:6]) not in keep:
-                os.remove(path)
-                removed += 1
-        return removed
+        doomed = sorted(
+            p
+            for p in glob.glob(os.path.join(self.snap_dir, "v*.json"))
+            if _manifest_sid(p) not in keep
+        )
+        if doomed:
+            # preserve lineage metadata: any ``extra`` key whose most recent
+            # value lives only in a doomed manifest (e.g. the streaming
+            # batch high-water mark when non-stream commits followed it)
+            # is folded into the OLDEST kept manifest so
+            # latest_extra_value() still finds it after compaction
+            inherited: dict = {}
+            for p in doomed:  # ascending sid — later values win
+                with open(p) as f:
+                    inherited.update(json.load(f).get("extra", {}))
+            kept_keys: set[str] = set()
+            for sid in keep:
+                try:
+                    kept_keys |= set(self._load(sid).get("extra", {}))
+                except FileNotFoundError:
+                    pass
+            carry = {k: v for k, v in inherited.items() if k not in kept_keys}
+            if carry:
+                oldest = min(keep)
+                snap = self._load(oldest)
+                snap["extra"] = {**carry, **snap.get("extra", {})}
+                snap["parent"] = None  # lineage below this point is gone
+                tmp = self._snap_path(oldest) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(snap, f)
+                os.replace(tmp, self._snap_path(oldest))
+        for path in doomed:
+            os.remove(path)
+        return len(doomed)
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Delete manifests older than the newest ``keep_last`` and any data
@@ -221,10 +282,9 @@ class SnapshotTable:
         for sid in live_ids:
             live_files |= set(self._load(sid)["files"])
         removed = []
-        for path in glob.glob(os.path.join(self.snap_dir, "v*.json")):
-            sid = int(os.path.basename(path)[1:6])
-            if sid not in live_ids:
-                os.remove(path)
+        # manifest removal shares rewrite_manifests' path so lineage extras
+        # (streaming high-water marks) survive expiry too
+        self.rewrite_manifests(keep_last)
         # data files live either directly under data/<commit>/ (append /
         # overwrite_partition) or one level deeper under a dynamic-partition
         # directory data/<commit>/__part=*/ (overwrite_partitions) — sweep

@@ -178,6 +178,8 @@ def dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    corpus: DataFrame | None = None,
+    corpus_id: str = "doc_id",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → canonical keep-list.
 
@@ -186,55 +188,120 @@ def dup_components(
     id reachable through the dup graph as its ``component``, and the one
     doc per component with ``keep = true`` is the canonical survivor.
 
-    Physical shape: iterative min-label propagation (the standard
-    Spark/GraphX pattern — each round joins labels to the undirected edge
-    list and takes the neighborhood min; convergence in O(graph diameter)
-    rounds, and dup clusters are shallow by construction). Each round is
-    one shuffle on the id; the loop stops early when a round changes no
-    label (one count per round — the iterative-algorithm exception to the
-    no-eager rule, bounded by ``max_iter``).
+    Physical shape: iterative min-label propagation PLUS pointer doubling
+    (each round first takes the neighborhood min over the edge list, then
+    jumps labels through labels — ``component := label(component)`` — so
+    convergence is O(log diameter), not O(diameter); a 20-round budget
+    covers chains of length ~2^20). The edge list is persisted ONCE before
+    the loop — without that, every round would re-execute the full
+    upstream pair-generation lineage (e.g. a jaccard token self-join), the
+    most expensive subtree in the job at scale. Each round's label set is
+    ``localCheckpoint(eager=True)``-ed: the round references labels three
+    times (neighbor join, left join, jump table), so without truncating
+    the LOGICAL plan each round the plan tree grows 3^k and Catalyst
+    analysis itself becomes the bottleneck by round ~5 — persist alone
+    caches data but not the plan. One count per round checks convergence
+    (the iterative-algorithm exception to the no-eager rule, bounded by
+    ``max_iter``).
 
-    Returns (doc_id, component, keep). Docs that appear in no pair are
-    absent from the output (they are trivially their own component and
-    keep=true — left-join the corpus if a full keep-list is needed).
+    Returns (doc_id, component, keep). By default docs that appear in no
+    pair are absent (they are trivially their own component, keep=true);
+    pass ``corpus`` (any DataFrame with ``corpus_id``) to left-join it in
+    and get the FULL keep-list including singletons.
+
+    Raises RuntimeError if ``max_iter`` rounds exhaust without
+    convergence — a silently partial merge would leave multiple keep=true
+    survivors inside one true component, which for a dedup pipeline means
+    silently shipping duplicates (no-silent-caps rule).
+
+    The returned DataFrame reads from the final round's locally
+    checkpointed labels (blocks are reclaimed by the ContextCleaner once
+    the DataFrame is garbage-collected).
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
-    labels = (
+    edges = (
+        fwd.union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    prev = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-    ).persist()
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
+    ).localCheckpoint(eager=True)
+    converged = False
+    try:
+        for _ in range(max_iter):
+            labels = prev
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            stage1 = labels.join(
+                nbr_min, labels["id"] == nbr_min["src"], "left"
+            ).select(
                 "id",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("__chg"),
             )
-        ).persist()
-        updated.count()  # fully materialize BEFORE dropping the parent cache
-        changed = updated.where(F.col("__chg")).limit(1).count()
-        labels.unpersist()
-        labels = updated.drop("__chg")
-        if changed == 0:
-            break
-    out = labels.select(
+            # pointer doubling: jump each label through the label of its
+            # current component (components are always node ids, so the
+            # self-join on component == id matches except at roots). The
+            # jump table is the PREVIOUS round's checkpointed labels —
+            # jumping through any round's labels is safe (every label is a
+            # reachable node, so label(label(u)) is reachable from u) and
+            # avoids recomputing the unpersisted stage1 subtree twice.
+            jump = labels.select(
+                F.col("id").alias("__jid"), F.col("component").alias("__jcomp")
+            )
+            # eager localCheckpoint = the per-round materialization AND the
+            # lineage cut in one step
+            updated = (
+                stage1.join(jump, stage1["component"] == jump["__jid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__jcomp"), F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(F.col("__jcomp"), F.col("component")),
+                        )
+                        < F.col("__old")
+                    ).alias("__chg"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = updated.where(F.col("__chg")).limit(1).count()
+            prev = updated.drop("__chg")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (pointer doubling makes each extra "
+            "round square the reachable chain length)"
+        )
+    out = prev.select(
         F.col("id").alias("doc_id"),
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+    if corpus is not None:
+        ids = corpus.select(F.col(corpus_id).alias("doc_id")).distinct()
+        out = ids.join(out, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+        )
     return out
 
 

@@ -221,3 +221,81 @@ def test_multi_tier_streaming_matches_batch(spark, tmp_path):
             got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
             check_dtype=False,
         )
+
+
+def test_retry_after_interleaved_commit_still_skipped(spark, tmp_path):
+    """A non-stream commit (append / retention) between a batch commit and
+    its retry carries no stream_batch_id; replay detection must walk the
+    snapshot lineage, not just read the CURRENT snapshot, or the retry
+    double-counts."""
+    agg_path = os.path.join(str(tmp_path), "agg")
+    pdf = pd.DataFrame(
+        {"doc_id": ["i-A"], "tokens": [[10, 20, 30, 40]],
+         "n_tok": [4], "source": ["s1"]}
+    )
+    batch = explode_tokens(spark.createDataFrame(pdf, schema=_tok_schema()))
+    assert streaming.merge_batch(batch, 0, agg_path, tier_seconds=3600) is True
+
+    store = SnapshotTable(agg_path)
+    # interleaved maintenance commit with no stream metadata
+    extra_row = store.read(spark).limit(1).withColumn("day", F.lit("9999-01-01"))
+    store.append(extra_row, partition="9999-01-01")
+    assert store.snapshot_extra().get("stream_batch_id") is None
+
+    # retry of batch 0 after the interleaved commit: must still be skipped
+    assert streaming.merge_batch(batch, 0, agg_path, tier_seconds=3600) is False
+    cnts = (
+        store.read(spark).where(F.col("day") != "9999-01-01")
+        .orderBy("bucket_start").toPandas()["cnt"].tolist()
+    )
+    assert cnts == [4]
+
+
+def test_crash_between_tier_commits_self_heals(spark, tmp_path):
+    """merge_batch_tiers commits each tier's store separately; a crash
+    between tier commits leaves tiers at different stream_batch_ids. On
+    replay the per-store idempotent skip must make every tier converge to
+    the one-shot result without double-counting the finished tier."""
+    out_dir = str(tmp_path / "out")
+    tiers = (900, 3600, 86400)
+    pdf = gen_token_table(n_series=3, n_tok=600, seed=29)
+    batch = explode_tokens(spark.createDataFrame(pdf, schema=_tok_schema()))
+
+    real = streaming._merge_cells_into
+    calls = {"n": 0}
+
+    def crash_after_first(spark_, cells, batch_id, agg_path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between tier commits")
+        return real(spark_, cells, batch_id, agg_path)
+
+    streaming._merge_cells_into = crash_after_first
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            streaming.merge_batch_tiers(batch, 0, out_dir, tiers)
+    finally:
+        streaming._merge_cells_into = real
+
+    # tier stores are now divergent: finest applied, the rest missing
+    assert SnapshotTable(os.path.join(out_dir, "agg_900s")).read(spark) is not None
+    assert SnapshotTable(os.path.join(out_dir, "agg_3600s")).read(spark) is None
+
+    # foreachBatch redelivers the same batch id; finished tier skips,
+    # unfinished tiers apply
+    applied = streaming.merge_batch_tiers(batch, 0, out_dir, tiers)
+    assert applied == 2  # 3600s and 86400s; 900s recognized as replay
+
+    for t in tiers:
+        got = (
+            SnapshotTable(os.path.join(out_dir, f"agg_{t}s"))
+            .read(spark).orderBy("doc_id", "bucket_start").toPandas()
+        )
+        exp = (
+            rollup_points(batch, t, value_col="value")
+            .orderBy("doc_id", "bucket_start").toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
+            check_dtype=False,
+        )

@@ -71,3 +71,59 @@ def test_overwrite_partitions_unescapes_special_chars(spark, tmp_path):
     assert len(fs) >= 1
     got = {r["v"] for r in spark.read.parquet(*fs).collect()}
     assert got == {1}
+
+
+def test_manifest_id_parse_past_99999(tmp_path):
+    """v{sid:05d}.json is zero-padded, not fixed-width: past sid 99999 the
+    filename widens to six digits. Retention must parse the FULL id — a
+    fixed [1:6] slice would read v100000.json as 10000 and delete the
+    CURRENT manifest."""
+    import json
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    # fast-forward the table to just under the five-digit boundary, then
+    # commit across it for real
+    for i in range(2):
+        files = dict(tbl._load(tbl.current_snapshot_id())["files"])
+        files[f"/data/f{i}.parquet"] = None
+        tbl._commit(files)
+    for sid_old, sid_new in ((1, 99998), (2, 99999)):
+        snap = tbl._load(sid_old)
+        snap["id"] = sid_new
+        snap["parent"] = sid_new - 1 if sid_new > 99998 else 0
+        with open(tbl._snap_path(sid_new), "w") as f:
+            json.dump(snap, f)
+        os.remove(tbl._snap_path(sid_old))
+    with open(os.path.join(tbl.snap_dir, "CURRENT"), "w") as f:
+        f.write("99999")
+
+    for i in range(2, 4):  # real commits 100000 and 100001
+        files = dict(tbl._load(tbl.current_snapshot_id())["files"])
+        files[f"/data/f{i}.parquet"] = None
+        tbl._commit(files)
+    assert tbl.current_snapshot_id() == 100001
+
+    removed = tbl.rewrite_manifests(keep_last=2)
+    assert removed == 2  # v99998, v99999 — and NOT the six-digit current
+    assert os.path.exists(tbl._snap_path(100001))
+    assert os.path.exists(tbl._snap_path(100000))
+    assert len(tbl.files()) == 4  # current snapshot still fully readable
+
+
+def test_latest_extra_value_walks_lineage_and_survives_compaction(spark, tmp_path):
+    """The streaming high-water mark must survive (a) interleaved
+    non-stream commits (walk parent snapshots) and (b) manifest compaction
+    that deletes the snapshot that recorded it (carry-forward into the
+    oldest kept manifest)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([Row(k="a", v=1)])
+    tbl.overwrite_partitions(df, "k", extra={"stream_batch_id": 7})
+    # two interleaved commits that carry no stream metadata
+    tbl.append(spark.createDataFrame([Row(k="b", v=2)]), partition="b")
+    tbl.append(spark.createDataFrame([Row(k="c", v=3)]), partition="c")
+    assert tbl.snapshot_extra().get("stream_batch_id") is None
+    assert tbl.latest_extra_value("stream_batch_id") == 7
+
+    # compact away the snapshot that recorded the mark
+    tbl.rewrite_manifests(keep_last=2)
+    assert tbl.latest_extra_value("stream_batch_id") == 7

@@ -416,3 +416,93 @@ def test_dup_components_keep_list(spark):
         10: (10, True), 11: (10, False), 12: (10, False),
         20: (20, True), 21: (20, False),
     }
+
+
+def test_dup_components_pointer_doubling_long_chain(spark):
+    """A 60-node chain (diameter 59) converges well inside max_iter=10:
+    pointer doubling gives O(log diameter) rounds where pure min-label
+    propagation would need 59 and previously returned a silently partial
+    merge."""
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import dedup
+
+    n = 60
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup.dup_components(pairs, max_iter=10).collect()
+    }
+    assert got == {i: (1, i == 1) for i in range(1, n + 1)}
+
+
+def test_dup_components_nonconvergence_raises(spark):
+    """Exhausting max_iter without convergence raises instead of silently
+    returning a partial merge (no-silent-caps)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyhydroqc_spark.textops import dedup
+
+    n = 40
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(pairs, max_iter=1).collect()
+
+
+def test_dup_components_corpus_full_keep_list(spark):
+    """corpus= yields singletons (absent from any pair) as their own
+    keep=true components."""
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import dedup
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 10], "id_b": [2, 11]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 10, 11, 50, 51]})
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup.dup_components(pairs, corpus=corpus).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 10: (10, True), 11: (10, False),
+        50: (50, True), 51: (51, True),
+    }
+
+
+def test_dup_components_edges_computed_once(spark):
+    """The pairs-subtree must execute exactly once regardless of
+    propagation rounds: edges is persisted before the loop, so round k
+    never replays the (potentially very expensive) upstream pair
+    generation. Counted with an accumulator inside the pairs lineage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from pyhydroqc_spark.textops import dedup
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, LongType())
+    n = 32  # chain: needs several propagation rounds
+    base = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
+    )
+    pairs = base.withColumn("id_a", bump_udf("id_a"))
+    out = dedup.dup_components(pairs, max_iter=10)
+    assert out.where(~F.col("keep")).count() == n - 1
+    # the UDF ran once per input row during the single edges materialization
+    # (the union makes the lineage scan pairs twice before distinct) — but
+    # NOT once per round
+    assert acc.value <= 2 * (n - 1)
