@@ -463,8 +463,34 @@ def q_ar1_residuals(spark, sf_dir):
     from pyhydroqc_spark.operators import detect
 
     df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
-    out = detect.arima_residuals_sql(df, "observed", order=(1, 1, 0), cache_input=False)
+    # default settings: recompute-not-persist is the scale-safe default now
+    out = detect.arima_residuals_sql(df, "observed", order=(1, 1, 0))
     return out.select("doc_id", "pos", F.round("residual", 6).alias("residual"))
+
+
+def q_ar11_residuals(spark, sf_dir):
+    """The q=1 ψ-filter innovation path (ARIMA(1,1,1)) with FIXED
+    coefficients — how tuned site params are applied at scale (the
+    reference's MainStreet configs fix q=1, `parameters.py:70-272`). With
+    the fit done offline, the innovation recursion is coefficient-exact and
+    DuckDB replays it closed-form: e_t = Σ_j (−θ)^j (y_{t−j} − φ·y_{t−j−1})
+    with geometric truncation. The coefficients are deliberately
+    non-round (0.6137215, 0.2918467): the events values are 2-decimal, so
+    round coefficients like (0.6, 0.3) make innovations land EXACTLY on
+    rounding half-boundaries where the two engines' float-repr wobble
+    (~1e-13) flips the 6th decimal."""
+    from pyhydroqc_spark.operators import detect
+
+    df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
+    out = detect.arima_residuals_fixed(
+        df, "observed", model=(0.0, (0.6137215,), (0.2918467,), 1)
+    )
+    return out.select(
+        "doc_id",
+        "pos",
+        F.round("residual", 6).alias("residual"),
+        F.round("prediction", 6).alias("prediction"),
+    )
 
 
 def q_windowed_detect_counts(spark, sf_dir):
@@ -883,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_stats": q_lang_stats,
         "ar1_residuals": q_ar1_residuals,
+        "ar11_residuals": q_ar11_residuals,
         "windowed_detect_counts": q_windowed_detect_counts,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
@@ -1381,6 +1408,34 @@ SELECT d.doc_id, d.pos,
        ROUND(CASE WHEN d.rn <= 1 THEN 0.0
                   ELSE d.value - (d.xl1 + c2.phi * COALESCE(d.yl, 0.0)) END, 6) AS residual
 FROM dl d JOIN c2 ON c2.doc_id = d.doc_id
+"""
+
+    # ARIMA(1,1,1) with FIXED coefficients (φ=0.6137215, θ=0.2918467, c=0):
+    # the level
+    # residual equals the innovation e_t = Σ_j (−θ)^j z_{t−j} with
+    # z_t = y_t − φ·y_{t−1} (pre-sample lags 0), truncated at j≤40
+    # (0.29^40 ≈ 3e-22, far below the 6dp compare); prediction = x − e.
+    # Row pos 0 is pinned (resid 0, pred x) exactly like apply_arima.
+    sql["ar11_residuals"] = BASE_SQL + """
+, dif AS (
+  SELECT doc_id, pos, value AS x,
+         value - LAG(value) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM base
+), z AS (
+  SELECT doc_id, pos, x, y,
+         y - 0.6137215 * COALESCE(LAG(y) OVER (PARTITION BY doc_id ORDER BY pos), 0.0) AS z
+  FROM dif WHERE pos >= 1
+), e AS (
+  SELECT a.doc_id, a.pos,
+         SUM(power(-0.2918467, a.pos - b.pos) * b.z) AS e
+  FROM z a JOIN z b
+    ON a.doc_id = b.doc_id AND b.pos <= a.pos AND b.pos >= a.pos - 40
+  GROUP BY a.doc_id, a.pos
+)
+SELECT d.doc_id, d.pos,
+       ROUND(CASE WHEN d.pos = 0 THEN 0.0 ELSE e.e END, 6) AS residual,
+       ROUND(CASE WHEN d.pos = 0 THEN d.x ELSE d.x - e.e END, 6) AS prediction
+FROM dif d LEFT JOIN e ON e.doc_id = d.doc_id AND e.pos = d.pos
 """
 
     # windowed 2-lag OLS head (no intercept, no ridge → Cramer closed form),

@@ -218,19 +218,20 @@ def arma_one_step(y: np.ndarray, c: float, phi: np.ndarray, theta: np.ndarray):
     return yhat, e
 
 
-def fit_arima(x: np.ndarray, p: int, d: int, q: int):
-    """ARIMA(p,d,q) in-sample fit on the original scale.
-
-    Returns (residuals, predictions, model) where model = (c, phi, theta, d).
-    First max(d,1) predictions are pinned to the observations and their
-    residuals to 0, mirroring `modeling_utilities.py:72-73`.
-    """
+def apply_arima(x: np.ndarray, c: float, phi: np.ndarray, theta: np.ndarray, d: int):
+    """In-sample residuals/predictions for FIXED ARIMA coefficients on the
+    original scale — the application half of ``fit_arima`` (same ψ-filter
+    innovation path, same warmup pinning), callable with a pre-fit model.
+    This is the "user ports tuned site params" path: the reference's site
+    configs carry fixed (p,d,q) fits per sensor (`parameters.py:70-272``,
+    q=1 for the MainStreet sites)."""
     x = np.asarray(x, dtype=float)
     n = len(x)
+    phi = np.asarray(phi, dtype=float)
+    theta = np.asarray(theta, dtype=float)
     if n == 0:
-        return np.zeros(0), np.zeros(0), (0.0, np.zeros(p), np.zeros(q), d)
+        return np.zeros(0), np.zeros(0)
     y = _diff(x, d)
-    c, phi, theta = fit_arma(y, p, q, intercept=(d == 0))
     yhat, _ = arma_one_step(y, c, phi, theta)
     pred = np.empty(n)
     warm = max(d, 1)
@@ -250,6 +251,22 @@ def fit_arima(x: np.ndarray, p: int, d: int, q: int):
     resid = x - pred
     resid[0] = 0.0
     pred[0] = x[0]
+    return resid, pred
+
+
+def fit_arima(x: np.ndarray, p: int, d: int, q: int):
+    """ARIMA(p,d,q) in-sample fit on the original scale.
+
+    Returns (residuals, predictions, model) where model = (c, phi, theta, d).
+    First max(d,1) predictions are pinned to the observations and their
+    residuals to 0, mirroring `modeling_utilities.py:72-73`.
+    """
+    x = np.asarray(x, dtype=float)
+    if len(x) == 0:
+        return np.zeros(0), np.zeros(0), (0.0, np.zeros(p), np.zeros(q), d)
+    y = _diff(x, d)
+    c, phi, theta = fit_arma(y, p, q, intercept=(d == 0))
+    resid, pred = apply_arima(x, c, phi, theta, d)
     return resid, pred, (c, phi, theta, d)
 
 

@@ -73,6 +73,42 @@ def arima_residuals(
     return df.groupBy(key).applyInPandas(fit, schema=out_schema)
 
 
+def arima_residuals_fixed(
+    df: DataFrame,
+    value_col: str = "observed",
+    model=(0.0, (0.6,), (0.3,), 1),
+    key: str = SERIES_KEY,
+    order_col: str = ORDER_COL,
+    resid_col: str = "residual",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """Per-series residuals/predictions for a FIXED ARIMA model
+    ``model = (c, phi, theta, d)`` — the q>0 ψ-filter innovation path with
+    coefficients supplied instead of fit. This is how tuned site parameters
+    are applied at scale (the reference's per-sensor configs fix q=1,
+    `parameters.py:70-272`): the fit happened once offline, the cluster job
+    only applies it, so the math is replayable coefficient-exact by any SQL
+    engine (e_t = Σ_j (−θ)^j z_{t−j}, geometric truncation)."""
+    c, phi, theta, d = model
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(resid_col, DoubleType(), True),
+            StructField(pred_col, DoubleType(), True),
+        ]
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        resid, pred = arima_mod.apply_arima(x, c, np.asarray(phi), np.asarray(theta), d)
+        pdf[resid_col] = resid
+        pdf[pred_col] = pred
+        return pdf
+
+    return df.groupBy(key).applyInPandas(apply_fn, schema=out_schema)
+
+
 def arima_residuals_sql(
     df: DataFrame,
     value_col: str = "observed",
@@ -81,7 +117,7 @@ def arima_residuals_sql(
     order_col: str = ORDER_COL,
     resid_col: str = "residual",
     pred_col: str = "prediction",
-    cache_input: bool = True,
+    cache_input: bool = False,
 ) -> DataFrame:
     """AR(p) / ARI(p,d) residuals computed almost entirely JVM-side.
 
@@ -92,6 +128,14 @@ def arima_residuals_sql(
     predictions/residuals are then pure column expressions. Numerically
     identical (≤1e-9) to the grouped-map ``fit_arima`` path, ~10× cheaper
     at scale because the fact rows never leave the JVM.
+
+    The lagged plan is consumed twice (moment sums, then the fact-side
+    join). The DEFAULT is to recompute: at cluster scale persisting the
+    whole fact table costs more (memory pressure + spill + eviction of
+    hotter caches) than replaying a columnar scan + window, and the second
+    consumer reuses the same shuffle output anyway where one exists. Pass
+    ``cache_input=True`` only for small inputs behind expensive upstream
+    lineage (e.g. an un-checkpointed iterative result).
     """
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
@@ -110,9 +154,7 @@ def arima_residuals_sql(
     for j in range(1, p + 1):
         tmp = tmp.withColumn(f"__yl{j}", F.lag("__y", j).over(w))
     if cache_input:
-        # the plan is consumed twice (moment sums, then the fact-side join);
-        # persisting avoids recomputing everything upstream. At cluster
-        # scale prefer StorageLevel.MEMORY_AND_DISK or accept the rescan.
+        # opt-in only — see docstring for why recompute is the default
         from pyspark import StorageLevel
 
         tmp = tmp.persist(StorageLevel.MEMORY_AND_DISK)

@@ -454,74 +454,51 @@ def simhash(
     Σ_w (±1 depending on bit j of hash(w)). ``hash_fn="md5"`` gives the
     portable 60-bit hash (use bits<=60 with it) replayable in plain SQL.
 
-    The per-word hash is computed ONCE (transform), then folded — not
-    re-hashed per bit inside the aggregate lambda."""
+    Physical shape: explode the distinct words and compute the per-bit ±1
+    sums as ``bits`` conditional SUM aggregates in ONE hash aggregation —
+    every expression stays inside whole-stage codegen. The previous
+    formulation (per-word array-of-±1 built inside an ``aggregate`` HOF
+    lambda) evaluated 60 interpreted when-expressions per word per doc and
+    was the dominant cost of the simhash path; the aggregation form is the
+    same arithmetic JIT-compiled. The groupBy shuffles only ``bits+1``
+    longs per doc after map-side partial aggregation — O(docs), not
+    O(words)."""
     from functools import reduce
 
     if hash_fn == "md5" and bits > 60:
         raise ValueError("md5 hash provides 60 bits; pass bits<=60")
     words = F.array_distinct(_words(text_col))
-    hashes = F.transform(words, lambda w: _hash64(w, hash_fn))
-    acc = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda a, hv: F.zip_with(
-            a,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    )
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for j in range(bits)
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(words).alias("__w")
+    ).select("id", _hash64(F.col("__w"), hash_fn).alias("__hv"))
+    # acc_j = Σ ±1 = 2·(count of words with bit j set) − n, so the sign
+    # test acc_j > 0 becomes 2·c_j > n. explode_outer keeps zero-word docs
+    # (n = 0 → all bits fail the test → signature 0, as before).
+    counted = exploded.groupBy("id").agg(
+        F.count("__hv").alias("__n"),
+        *[
+            F.sum(
+                F.shiftright(F.col("__hv"), j).bitwiseAND(F.lit(1)).cast("long")
+            ).alias(f"__c{j}")
+            for j in range(bits)
+        ],
     )
-    tmp = df.select(F.col(id_col).alias("id"), acc.alias("__acc"))
     sig = reduce(
         lambda s, j: s.bitwiseOR(
             F.when(
-                F.element_at("__acc", j + 1) > 0,
+                F.col(f"__c{j}") * 2 > F.col("__n"),
                 F.shiftleft(F.lit(1).cast("long"), j),
             ).otherwise(F.lit(0).cast("long"))
         ),
         range(bits),
         F.lit(0).cast("long"),
     )
-    return tmp.select("id", sig.alias("simhash"))
+    return counted.select("id", sig.alias("simhash"))
 
 
-def simhash_candidates(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs via 16-bit quarter-band buckets (a pair within hamming
-    distance 3 shares at least one exact quarter), then exact hamming check."""
-    quarters = F.array(
-        *[
-            F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF))
-            for q in range(4)
-        ]
-    )
-    banded = sig_df.select("id", "simhash", F.posexplode(quarters).alias("q", "qv"))
-    # one aggregation + in-bucket pair enumeration (struct array_sort orders
-    # by id, so x < y positionally) — the signature subtree is computed
-    # once, not re-derived per self-join input. The explicit repartition
-    # pins the bucket stage's parallelism: the banded rows are tiny by
-    # BYTES (AQE would coalesce to one task) while the signature fold
-    # feeding them is CPU-heavy.
-    n = sig_df.sparkSession.sparkContext.defaultParallelism
-    banded = banded.repartition(n, "q", "qv")
-    grouped = (
-        banded.groupBy("q", "qv")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
-            ).alias("ms")
-        )
-        .where(F.size("ms") > 1)
-    )
+def _enumerate_bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """In-bucket pair enumeration over a ``ms: array<struct<id, simhash>>``
+    column (array_sort orders by id, so x < y positionally)."""
     ms = F.col("ms")
     combos = F.flatten(
         F.transform(
@@ -537,11 +514,96 @@ def simhash_candidates(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
             ),
         )
     )
-    pairs = (
-        grouped.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
-        .distinct()
+    return grouped.select(F.explode(combos).alias("p")).select(
+        "p.id_a", "p.id_b", "p.h_a", "p.h_b"
     )
+
+
+def simhash_candidates(
+    sig_df: DataFrame, max_hamming: int = 3, bucket_cap: int = 512
+) -> DataFrame:
+    """Near-dup pairs via 16-bit quarter-band buckets (a pair within hamming
+    distance 3 shares at least one exact quarter), then exact hamming check.
+
+    Scale safety — adaptive multi-index splitting: expected occupancy of a
+    fixed 16-bit quarter bucket grows as n/2^16, so in-bucket enumeration
+    alone would grow quadratically with corpus size. Buckets larger than
+    ``bucket_cap`` are therefore NOT enumerated directly: their members are
+    re-banded on the remaining 48 bits split into four 12-bit sub-blocks.
+    Pigeonhole still guarantees recall — inside a (quarter, value) bucket
+    the members already agree on 16 bits, so a qualifying pair's ≤3
+    differing bits fall in the other 48, and splitting those into 4
+    sub-blocks leaves at least one sub-block equal. The exact hamming
+    recheck keeps precision exact. Enumeration work per hot bucket drops
+    from O(m²) to Σ O(m_s²) with E[m_s] ≈ m/2^12; truly identical-signature
+    clusters remain output-bound (every pair IS a result) which no banding
+    can avoid. For corpora where even the sub-buckets run hot, minhash
+    banding (tunable band count) is the documented scale path."""
+    quarters = F.array(
+        *[
+            F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF))
+            for q in range(4)
+        ]
+    )
+    banded = sig_df.select("id", "simhash", F.posexplode(quarters).alias("q", "qv"))
+    # one aggregation + in-bucket pair enumeration — the signature subtree
+    # is computed once, not re-derived per self-join input. The explicit
+    # repartition pins the bucket stage's parallelism: the banded rows are
+    # tiny by BYTES (AQE would coalesce to one task) while the signature
+    # fold feeding them is CPU-heavy.
+    n = sig_df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n, "q", "qv")
+    grouped = (
+        banded.groupBy("q", "qv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    small_pairs = _enumerate_bucket_pairs(grouped.where(F.size("ms") <= bucket_cap))
+
+    # hot buckets: explode back to members and re-band on the remaining
+    # 48 bits (the three quarters OTHER than the bucket's own, packed into
+    # one long) split into four 12-bit sub-blocks
+    hot = (
+        grouped.where(F.size("ms") > bucket_cap)
+        .select("q", "qv", F.explode("ms").alias("m"))
+        .select(
+            "q",
+            "qv",
+            F.col("m.id").alias("id"),
+            F.col("m.simhash").alias("simhash"),
+        )
+    )
+    rem = F.filter(quarters, lambda x, i: i != F.col("q"))
+    r48 = (
+        F.element_at(rem, 1)
+        .bitwiseOR(F.shiftleft(F.element_at(rem, 2), 16))
+        .bitwiseOR(F.shiftleft(F.element_at(rem, 3), 32))
+    )
+    subs = F.array(
+        *[
+            F.shiftright(r48, 12 * s).bitwiseAND(F.lit(0xFFF))
+            for s in range(4)
+        ]
+    )
+    sub_banded = hot.select(
+        "q", "qv", "id", "simhash", F.posexplode(subs).alias("sq", "sv")
+    ).repartition(n, "q", "qv", "sq", "sv")
+    hot_grouped = (
+        sub_banded.groupBy("q", "qv", "sq", "sv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    hot_pairs = _enumerate_bucket_pairs(hot_grouped)
+
+    pairs = small_pairs.union(hot_pairs).distinct()
     return (
         pairs.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)

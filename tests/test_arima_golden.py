@@ -150,3 +150,30 @@ def test_non_invertible_theta_falls_back():
     yhat, e = arima.arma_one_step(y, 0.0, np.zeros(0), np.array([-1.2]))
     assert np.all(np.isfinite(e)) and np.all(np.isfinite(yhat))
     assert arima._ma_invert(y, np.array([-1.2])) is None
+
+
+def test_apply_arima_fixed_q1_matches_sequential_recursion():
+    """apply_arima with fixed ARIMA(1,1,1) coefficients must equal the
+    plain sequential conditional recursion to float precision — locks the
+    vectorized ψ-filter path (the one the ar11_residuals driver query
+    exercises) against the definitional loop."""
+    import numpy as np
+
+    from pyhydroqc_spark.operators import arima
+
+    rng = np.random.default_rng(7)
+    n = 500
+    phi, theta = 0.6137215, 0.2918467
+    x = np.cumsum(rng.normal(0, 1.0, n)) + 50
+    resid, pred = arima.apply_arima(x, 0.0, np.array([phi]), np.array([theta]), 1)
+
+    # definitional recursion on the differenced series, pre-sample lags 0
+    y = np.diff(x)
+    e = np.zeros(len(y))
+    for t in range(len(y)):
+        acc = phi * (y[t - 1] if t >= 1 else 0.0) + theta * (e[t - 1] if t >= 1 else 0.0)
+        e[t] = y[t] - acc
+    exp_resid = np.r_[0.0, e]
+    exp_pred = np.r_[x[0], x[:-1] + (y - e)]
+    np.testing.assert_allclose(resid, exp_resid, atol=1e-9)
+    np.testing.assert_allclose(pred, exp_pred, atol=1e-9)

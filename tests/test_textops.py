@@ -506,3 +506,39 @@ def test_dup_components_edges_computed_once(spark):
     # (the union makes the lineage scan pairs twice before distinct) — but
     # NOT once per round
     assert acc.value <= 2 * (n - 1)
+
+
+def test_simhash_hot_bucket_split_preserves_recall(spark):
+    """Forcing every bucket through the multi-index hot path (bucket_cap=2)
+    must return exactly the same pairs as direct enumeration
+    (bucket_cap=10^9): pigeonhole on the 4×12-bit sub-blocks of the
+    remaining 48 bits keeps recall for hamming<=3, and the exact recheck
+    keeps precision."""
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import dedup
+
+    # clustered corpus: 8 groups of near-identical docs + noise docs
+    rows = []
+    for g in range(8):
+        base = [f"tok{g}_{k}" for k in range(30)]
+        for m in range(6):
+            words = list(base)
+            if m:
+                words[m] = f"alt{g}_{m}"  # one-word edits → small hamming
+            rows.append((g * 10 + m, " ".join(words)))
+    for i in range(100):
+        rows.append((1000 + i, " ".join(f"noise{i}_{k}" for k in range(25))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sig = dedup.simhash(df)
+
+    direct = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_candidates(sig, 3, bucket_cap=10**9).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_candidates(sig, 3, bucket_cap=2).collect()
+    }
+    assert split == direct
+    assert direct  # the planted clusters must actually produce pairs

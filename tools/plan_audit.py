@@ -173,6 +173,18 @@ def main():
         "100 TB token table never crosses a shuffle boundary.",
     )
 
+    # 9. arima_residuals_sql at DEFAULT settings: no persist of the fact
+    # table (recompute-by-default; cache_input=True is opt-in)
+    audit(
+        "ar1_residuals (default: no persist)",
+        qs["ar1_residuals"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"InMemoryRelation", r"InMemoryTableScan"],
+        note="the lagged fact plan is consumed twice (moment sums + join) "
+        "but is recomputed, not persisted — at cluster scale caching the "
+        "whole fact table is the wrong default.",
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(report) + "\n")
