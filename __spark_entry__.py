@@ -509,6 +509,71 @@ def q_windowed_detect_counts(spark, sf_dir):
     )
 
 
+def q_windowed_bidir_counts(spark, sf_dir):
+    """The bidirectional windowed-regression mode (reference drops both
+    edges, `model_workflow.py:127,139`): predict x_t from [x_{t-1}, x_{t+1}]
+    — a 2×2 closed form DuckDB replays with LAG+LEAD."""
+    from pyhydroqc_spark.operators import threshold, windowed_detect
+
+    df = _pin(spark, _events_long(spark, sf_dir).withColumnRenamed("value", "observed"))
+    out = windowed_detect.windowed_regression_residuals(
+        df, "observed", time_steps=1, mode="bidir", intercept=False, ridge=0.0
+    )
+    out = threshold.dynamic_threshold(out, "residual", window_sz=30, alpha=0.05, min_range=1.0)
+    out = threshold.detect_threshold_anomalies(out, "residual")
+    return out.groupBy("doc_id").agg(
+        F.sum(F.col("detected_anomaly").cast("long")).alias("n_detected")
+    )
+
+
+def q_multivar_residuals(spark, sf_dir):
+    """The multivariate head (`model_workflow.py:192-317` shape): adjacent
+    event users are paired as two sensors of one site, truncated to the
+    common length; each sensor's head regresses on BOTH sensors' lag-1
+    features (2×2 closed form per head, replayable in SQL). Exercises the
+    site-pivot + shared-feature-block + per-sensor-head plumbing
+    end-to-end."""
+    from pyhydroqc_spark.operators import windowed_detect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("uid"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("value").cast("double").alias("observed"),
+    ).select(
+        F.floor(F.col("uid") / 2).cast("string").alias("site"),
+        F.concat(F.lit("s"), F.pmod(F.col("uid"), F.lit(2))).alias("sensor"),
+        "pos",
+        "observed",
+    )
+    lens = base.groupBy("site", "sensor").agg(F.max("pos").alias("mx"))
+    sites = (
+        lens.groupBy("site")
+        .agg(F.min("mx").alias("mn"), F.count("*").alias("ns"))
+        .where(F.col("ns") == 2)
+    )
+    frame = (
+        base.join(F.broadcast(sites), "site")
+        .where(F.col("pos") <= F.col("mn"))
+        .select("site", "sensor", "pos", "observed")
+    )
+    out = windowed_detect.multivar_regression_residuals(
+        frame,
+        "observed",
+        time_steps=1,
+        mode="vanilla",
+        ridge=0.0,
+        intercept=False,
+        site_col="site",
+        sensor_col="sensor",
+        order_col="pos",
+    )
+    return out.where(F.col("pos") >= 1).select(
+        "site", "sensor", "pos", F.round("residual", 6).alias("residual")
+    )
+
+
 # portable-hash variants (md5-keyed so DuckDB replays the same bits)
 
 def q_minhash_candidates(spark, sf_dir):
@@ -910,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "ar1_residuals": q_ar1_residuals,
         "ar11_residuals": q_ar11_residuals,
+        "windowed_bidir_counts": q_windowed_bidir_counts,
+        "multivar_residuals": q_multivar_residuals,
         "windowed_detect_counts": q_windowed_detect_counts,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
@@ -1470,6 +1537,89 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN r < mu - GREATEST(1.0, {Z_05!r} * sd)
                       OR r > mu + GREATEST(1.0, {Z_05!r} * sd) THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
 FROM thr GROUP BY doc_id
+"""
+
+    # bidir: same chain as windowed_detect_counts but the 2 features are
+    # LAG and LEAD; the modeled region is exactly the rows where both exist
+    sql["windowed_bidir_counts"] = BASE_SQL + f"""
+, lf AS (
+  SELECT doc_id, pos, value,
+         LAG(value, 1) OVER w AS l1, LEAD(value, 1) OVER w AS f1
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), m AS (
+  SELECT doc_id,
+         SUM(l1*l1) AS s11, SUM(l1*f1) AS s12, SUM(f1*f1) AS s22,
+         SUM(value*l1) AS s01, SUM(value*f1) AS s02
+  FROM lf WHERE l1 IS NOT NULL AND f1 IS NOT NULL GROUP BY doc_id
+), beta AS (
+  SELECT doc_id,
+         (s01*s22 - s02*s12) / (s11*s22 - s12*s12) AS b1,
+         (s02*s11 - s01*s12) / (s11*s22 - s12*s12) AS b2
+  FROM m
+), resid AS (
+  SELECT l.doc_id, l.pos,
+         CASE WHEN l.l1 IS NOT NULL AND l.f1 IS NOT NULL
+              THEN l.value - (beta.b1*l.l1 + beta.b2*l.f1) END AS r
+  FROM lf l JOIN beta ON beta.doc_id = l.doc_id
+), thr AS (
+  SELECT doc_id, pos, r,
+         AVG(r) OVER w AS mu, STDDEV_SAMP(r) OVER w AS sd
+  FROM resid WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN r < mu - GREATEST(1.0, {Z_05!r} * sd)
+                      OR r > mu + GREATEST(1.0, {Z_05!r} * sd) THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
+FROM thr GROUP BY doc_id
+"""
+
+    # multivar: adjacent users paired as two sensors of one site (common
+    # length, both-sensor sites only); each head solves the shared 2-lag-1
+    # feature block by Cramer
+    sql["multivar_residuals"] = """
+WITH base AS (
+  SELECT CAST(user_id // 2 AS VARCHAR) AS site,
+         's' || CAST(user_id % 2 AS VARCHAR) AS sensor,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS pos,
+         CAST(value AS DOUBLE) AS observed
+  FROM events
+), lens AS (
+  SELECT site, sensor, MAX(pos) AS mx FROM base GROUP BY site, sensor
+), sites AS (
+  SELECT site, MIN(mx) AS mn FROM lens GROUP BY site HAVING COUNT(*) = 2
+), frame AS (
+  SELECT b.site, b.sensor, b.pos, b.observed
+  FROM base b JOIN sites s ON s.site = b.site AND b.pos <= s.mn
+), wide AS (
+  SELECT site, pos,
+         MAX(CASE WHEN sensor = 's0' THEN observed END) AS a,
+         MAX(CASE WHEN sensor = 's1' THEN observed END) AS b
+  FROM frame GROUP BY site, pos
+), feat AS (
+  SELECT site, pos, a, b,
+         LAG(a) OVER w AS la, LAG(b) OVER w AS lb
+  FROM wide WINDOW w AS (PARTITION BY site ORDER BY pos)
+), m AS (
+  SELECT site,
+         SUM(la*la) AS s11, SUM(la*lb) AS s12, SUM(lb*lb) AS s22,
+         SUM(a*la) AS sa1, SUM(a*lb) AS sa2,
+         SUM(b*la) AS sb1, SUM(b*lb) AS sb2
+  FROM feat WHERE la IS NOT NULL GROUP BY site
+), beta AS (
+  SELECT site,
+         (sa1*s22 - sa2*s12) / (s11*s22 - s12*s12) AS a1,
+         (sa2*s11 - sa1*s12) / (s11*s22 - s12*s12) AS a2,
+         (sb1*s22 - sb2*s12) / (s11*s22 - s12*s12) AS b1,
+         (sb2*s11 - sb1*s12) / (s11*s22 - s12*s12) AS b2
+  FROM m
+), resid AS (
+  SELECT f.site, f.pos, f.a - (beta.a1*f.la + beta.a2*f.lb) AS ra,
+         f.b - (beta.b1*f.la + beta.b2*f.lb) AS rb
+  FROM feat f JOIN beta ON beta.site = f.site
+  WHERE f.pos >= 1
+)
+SELECT site, 's0' AS sensor, pos, ROUND(ra, 6) AS residual FROM resid
+UNION ALL
+SELECT site, 's1' AS sensor, pos, ROUND(rb, 6) AS residual FROM resid
 """
 
     # ---- portable-hash oracles (md5_60(x) = CAST('0x'||substr(md5(x),1,15) AS BIGINT),

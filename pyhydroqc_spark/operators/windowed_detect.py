@@ -165,39 +165,25 @@ def regression_detect_univar(
     )
 
 
-def regression_detect_multivar(
+def multivar_regression_residuals(
     df: DataFrame,
-    params=None,
+    value_col: str = "observed",
     time_steps: int = 10,
     mode: str = "vanilla",
-    rules: bool = True,
-    value_col: str = "value",
+    ridge: float = 1e-3,
+    intercept: bool = True,
     site_col: str = "source",
     sensor_col: str = "sensor",
-    key: str = SERIES_KEY,
     order_col: str = ORDER_COL,
 ) -> DataFrame:
-    """Multivariate workflow (`model_workflow.py:192-317` shape): all of a
-    site's sensors feed one feature block; each sensor gets its own
-    regression head over that block (the reference's n-output LSTM,
+    """Per-site multivariate windowed residuals: all of a site's sensors
+    feed one feature block; each sensor gets its own regression head over
+    that block (the linear analogue of the reference's n-output LSTM,
     `modeling_utilities.py:354-536`). Input: long rows keyed by
-    (site, sensor, pos); the site is the grouping axis.
-    """
-    from ..params import DEFAULT_PARAMS
-
-    p = params or DEFAULT_PARAMS
-    out = df
-    if rules:
-        out = range_check(out, p.max_range, p.min_range, value_col)
-        out = persistence(out, p.persist, value_col)
-        out = interpolate(out, 10000, value_col)
-    else:
-        out = out.withColumn("anomaly", F.lit(False)).withColumn(
-            "observed", F.col(value_col)
-        )
-
+    (site, sensor, pos); the site is the grouping axis — one grouped-map
+    Arrow UDF per site, sensors pivoted wide inside the kernel."""
     out_schema = StructType(
-        list(out.schema.fields)
+        list(df.schema.fields)
         + [
             StructField("residual", DoubleType(), True),
             StructField("prediction", DoubleType(), True),
@@ -210,7 +196,7 @@ def regression_detect_multivar(
         # pivot (not pivot_table): an all-NaN sensor column must survive so
         # its rows still get (NaN) predictions instead of a KeyError
         wide = pdf.pivot(
-            index=order_col, columns=sensor_col, values="observed"
+            index=order_col, columns=sensor_col, values=value_col
         ).sort_index()
         sensors = list(wide.columns)
         M = wide.to_numpy(dtype=float)
@@ -230,8 +216,9 @@ def regression_detect_multivar(
             blocks = [Mf[lo - j - 1 : hi - j - 1, :] for j in range(ts)]
             if mode == "bidir":
                 blocks += [Mf[lo + j + 1 : hi + j + 1, :] for j in range(ts)]
-            X = np.column_stack([np.ones(hi - lo)] + blocks)
-            XtX = X.T @ X + 1e-3 * np.eye(X.shape[1])
+            cols = ([np.ones(hi - lo)] if intercept else []) + blocks
+            X = np.column_stack(cols)
+            XtX = X.T @ X + ridge * np.eye(X.shape[1])
             for sj in finite:
                 s = sensors[sj]
                 t = M[lo:hi, sj]
@@ -245,10 +232,49 @@ def regression_detect_multivar(
             [preds[s][pos_ix[o]] for s, o in zip(pdf[sensor_col], pdf[order_col])]
         )
         pdf["prediction"] = pr
-        pdf["residual"] = pdf["observed"].to_numpy(dtype=float) - pr
+        pdf["residual"] = pdf[value_col].to_numpy(dtype=float) - pr
         return pdf
 
-    out = out.groupBy(site_col).applyInPandas(kernel, schema=out_schema)
+    return df.groupBy(site_col).applyInPandas(kernel, schema=out_schema)
+
+
+def regression_detect_multivar(
+    df: DataFrame,
+    params=None,
+    time_steps: int = 10,
+    mode: str = "vanilla",
+    rules: bool = True,
+    value_col: str = "value",
+    site_col: str = "source",
+    sensor_col: str = "sensor",
+    key: str = SERIES_KEY,
+    order_col: str = ORDER_COL,
+) -> DataFrame:
+    """Multivariate workflow (`model_workflow.py:192-317` shape): rules QC,
+    then ``multivar_regression_residuals``, then the shared threshold/
+    event chain."""
+    from ..params import DEFAULT_PARAMS
+
+    p = params or DEFAULT_PARAMS
+    out = df
+    if rules:
+        out = range_check(out, p.max_range, p.min_range, value_col)
+        out = persistence(out, p.persist, value_col)
+        out = interpolate(out, 10000, value_col)
+    else:
+        out = out.withColumn("anomaly", F.lit(False)).withColumn(
+            "observed", F.col(value_col)
+        )
+
+    out = multivar_regression_residuals(
+        out,
+        "observed",
+        time_steps=time_steps,
+        mode=mode,
+        site_col=site_col,
+        sensor_col=sensor_col,
+        order_col=order_col,
+    )
     out = dynamic_threshold(
         out,
         "residual",
