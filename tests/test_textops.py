@@ -542,3 +542,57 @@ def test_simhash_hot_bucket_split_preserves_recall(spark):
     }
     assert split == direct
     assert direct  # the planted clusters must actually produce pairs
+
+
+def test_trained_ivf_recall_beats_hash_and_floor(spark, monkeypatch):
+    """Data-adaptive (k-means-trained) IVF cells must beat the hash
+    codebook on clustered embeddings and clear an absolute recall floor;
+    train_ivf_centroids must honor its bounded-sample contract (no more
+    than sample_n vectors ever reach the driver)."""
+    import numpy as np
+    import pandas as pd
+    # Spark 4: pyspark.sql.DataFrame is the ABC; instances are classic
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 16, 24, 80
+    means = rng.normal(0, 1.0, (n_clusters, dim))
+    X = np.repeat(means, per, axis=0) + rng.normal(0, 0.15, (n_clusters * per, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(map(list, X))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 97 == 0)
+
+    # bounded-sample contract: spy on driver transfers during training
+    transfers = []
+    orig = DataFrame.toPandas
+
+    def spy(self):
+        out = orig(self)
+        transfers.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "toPandas", spy)
+    trained = ann.train_ivf_centroids(df, nlist=24, sample_n=400, seed=3)
+    monkeypatch.setattr(DataFrame, "toPandas", orig)
+    assert transfers and max(transfers) <= 400
+    assert len(trained) == 24
+
+    def recall(centroids):
+        exact = ann.cosine_topk(df, queries, k=10).toPandas()
+        # nprobe=1 is the discriminative setting: trained cells align with
+        # the true clusters (each query's neighbors live in its one probed
+        # cell) while hash cells slice clusters arbitrarily
+        approx = ann.ivf_topk(
+            df, queries, k=10, nlist=24, nprobe=1, centroids=centroids
+        ).toPandas()
+        e = exact.groupby("query_id")["neighbor_id"].apply(set)
+        a = approx.groupby("query_id")["neighbor_id"].apply(set)
+        hits = sum(len(e[qid] & a.get(qid, set())) for qid in e.index)
+        return hits / (10 * len(e))
+
+    r_hash = recall(ann.ivf_centroids(dim, 24))
+    r_trained = recall(trained)
+    assert r_trained >= 0.9, r_trained  # clustered data: trained cells are tight
+    assert r_trained > r_hash, (r_trained, r_hash)
