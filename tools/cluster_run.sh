@@ -8,7 +8,7 @@ set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 SPARK=/opt/spark
-export SPARK_NO_DAEMONIZE=""
+unset SPARK_NO_DAEMONIZE  # daemonized start scripts; even an empty value forces foreground
 WORK=/tmp/spark-cluster-smoke
 rm -rf "$WORK"; mkdir -p "$WORK"
 
