@@ -941,6 +941,21 @@ def q_dup_components(spark, sf_dir):
     )
 
 
+def q_dup_keep_list(spark, sf_dir):
+    """The actionable full keep-list: dup_components with ``corpus=`` folds
+    singleton docs (no near-dup pair) back in as their own keep=true
+    components — the frame a pipeline actually filters the corpus by."""
+    from pyhydroqc_spark.textops import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    out = dedup.dup_components(pairs, corpus=_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_counts": q_range_counts,
@@ -995,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "hot_tokens": q_hot_tokens,
         "dup_components": q_dup_components,
+        "dup_keep_list": q_dup_keep_list,
     }
 
 
@@ -1996,6 +2012,21 @@ SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS component,
        (src = MIN(dst)) AS keep
 FROM reach GROUP BY src
 """
+
+    # full keep-list: the same transitive closure, LEFT-joined from the
+    # corpus so singleton docs come back as their own keep=true components
+    sql["dup_keep_list"] = (
+        sql["dup_components"].rsplit("SELECT CAST(src", 1)[0]
+        + """, comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component, (src = MIN(dst)) AS keep
+  FROM reach GROUP BY src
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+       COALESCE(c.keep, TRUE) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+    )
 
     sql["multimodal_features"] = """
 SELECT CAST(d.doc_id AS BIGINT) AS id,
