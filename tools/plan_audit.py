@@ -173,7 +173,27 @@ def main():
         "100 TB token table never crosses a shuffle boundary.",
     )
 
-    # 9. arima_residuals_sql at DEFAULT settings: no persist of the fact
+    # 9. LSH signature folds are codegen aggregations, not interpreted
+    # array-HOF folds, and candidate generation never self-joins the corpus
+    audit(
+        "simhash_pairs (codegen fold + banding)",
+        qs["simhash_pairs"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note="signature = conditional-SUM hash aggregation (whole-stage "
+        "codegen); pairs from (quarter, value) bucket aggregation with "
+        "adaptive multi-index splitting of hot buckets.",
+    )
+    audit(
+        "minhash_candidates (codegen fold + banding)",
+        qs["minhash_candidates"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note="signature = num_perm MIN aggregates in one hash aggregation; "
+        "candidates from the (band, bucket) aggregation.",
+    )
+
+    # 10. arima_residuals_sql at DEFAULT settings: no persist of the fact
     # table (recompute-by-default; cache_input=True is opt-in)
     audit(
         "ar1_residuals (default: no persist)",
