@@ -941,6 +941,47 @@ def q_dup_components(spark, sf_dir):
     )
 
 
+def q_streaming_rollup(spark, sf_dir):
+    """§2.10 driver-gated END TO END: events → token arrays → TWO
+    incremental Structured-Streaming drains (AvailableNow + cell-scoped
+    foreachBatch MERGE into the snapshot store) → read the store back.
+    The streamed result must equal a one-shot SQL rollup of the same
+    points — the continuous-aggregate contract, checked by the oracle.
+    Fresh temp store per invocation, fully deterministic."""
+    import os
+    import tempfile
+
+    from pyhydroqc_spark import streaming
+    from pyhydroqc_spark.ingest import collapse_to_tokens
+    from pyhydroqc_spark.tables import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="stream_gate_")
+    in_dir, out_dir = os.path.join(tmp, "in"), os.path.join(tmp, "out")
+    os.makedirs(in_dir)
+    # map events values into the shared quantizer band [-5, 30)
+    base = (
+        _events_long(spark, sf_dir)
+        .withColumn("value", F.col("value") / 20.0 - 4.0)
+        .withColumn("source", F.lit("ev"))
+    )
+    tok = collapse_to_tokens(base)
+    even = F.col("doc_id").cast("long") % 2 == 0
+    tok.where(even).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir, tier_seconds=3600)
+    tok.where(~even).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir, tier_seconds=3600)
+    agg = SnapshotTable(os.path.join(out_dir, "agg")).read(spark)
+    return agg.select(
+        "doc_id",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
 def q_dup_keep_list(spark, sf_dir):
     """The actionable full keep-list: dup_components with ``corpus=`` folds
     singleton docs (no near-dup pair) back in as their own keep=true
@@ -1011,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tokens": q_hot_tokens,
         "dup_components": q_dup_components,
         "dup_keep_list": q_dup_keep_list,
+        "streaming_rollup": q_streaming_rollup,
     }
 
 
@@ -2011,6 +2053,33 @@ WITH w0 AS (
 SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS component,
        (src = MIN(dst)) AS keep
 FROM reach GROUP BY src
+"""
+
+    # streaming continuous-aggregate contract: the incrementally-merged
+    # store equals the one-shot rollup of the same (quantize-roundtripped)
+    # points. round_even ↔ Spark rint; T0 = 2022-01-01 UTC, cadence 900 s.
+    sql["streaming_rollup"] = BASE_SQL + """
+, q AS (
+  SELECT doc_id, pos,
+         CAST(LEAST(65535, GREATEST(0,
+             round_even(((value / 20.0 - 4.0) - (-5.0)) / 35.0 * 65535, 0)
+         )) AS BIGINT) AS t
+  FROM base
+), v AS (
+  SELECT doc_id,
+         -5.0 + t / 65535.0 * 35.0 AS val,
+         1640995200 + pos * 900 AS ep
+  FROM q
+), b AS (
+  SELECT doc_id, CAST(ep // 3600 * 3600 AS BIGINT) AS bucket, val FROM v
+)
+SELECT doc_id, bucket,
+       CAST(COUNT(val) AS BIGINT) AS cnt,
+       ROUND(SUM(val), 6) AS sum_val,
+       ROUND(AVG(val), 6) AS avg_val,
+       ROUND(MIN(val), 6) AS min_val,
+       ROUND(MAX(val), 6) AS max_val
+FROM b GROUP BY doc_id, bucket
 """
 
     # full keep-list: the same transitive closure, LEFT-joined from the
