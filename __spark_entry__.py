@@ -867,11 +867,12 @@ def q_comp_roundtrip(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction over lib-free payloads: deterministic
-    constant-channel 16×16 images built per document id — P6 PPM for even
-    ids, 24-bit BMP for odd ids — through the REAL container-sniffing
-    decode + 8×8 grayscale feature kernel (textops/multimodal.py). With
-    R=G=B=p the grayscale equals p, so features×255 are integers the
-    oracle reproduces in closed form."""
+    constant-channel 16×16 images built per document id — P6 PPM (id%3==0),
+    24-bit BMP (id%3==1), or 8-bit PNG via the stdlib-zlib codec (id%3==2)
+    — through the REAL container-sniffing decode + 8×8 grayscale feature
+    kernel (textops/multimodal.py). With R=G=B=p the grayscale equals p,
+    so features×255 are integers the oracle reproduces in closed form
+    regardless of container format."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -896,11 +897,12 @@ def q_multimodal_features(spark, sf_dir):
             for i in pdf["id"]:
                 p = ((int(i) * 31 + yy * 16 + xx * 3) % 256).astype(np.uint8)
                 img = np.stack([p, p, p], axis=-1)
-                payload = (
-                    multimodal.encode_ppm(img)
-                    if int(i) % 2 == 0
-                    else multimodal.encode_bmp(img)
-                )
+                enc = [
+                    multimodal.encode_ppm,
+                    multimodal.encode_bmp,
+                    multimodal.encode_png,
+                ][int(i) % 3]
+                payload = enc(img)
                 rows.append((str(int(i)), payload, "image"))
             yield pd.DataFrame(rows, columns=["media_id", "media", "kind"])
 

@@ -3,10 +3,12 @@
 The Spark-side machinery is real and tested: typed schema, Arrow-batched
 ``mapInPandas`` decode/feature/resize/frame-sample kernels with bounded
 batch memory, partition sizing by byte-weight. Codecs (``decode="real"``)
-are REAL for the lib-free formats — P6 PPM and uncompressed 24-bit BMP
-images (bytes+numpy parsers, nearest-neighbor resize, 8×8 grayscale
-features) and PCM WAV audio (stdlib ``wave``, 64-bin log-energy spectrum).
-Compressed formats (JPEG/PNG/MP3/MP4 video) still require PIL/ffmpeg,
+are REAL for the lib-free formats — P6 PPM, uncompressed 24-bit BMP, and
+8-bit PNG images (PNG via stdlib ``zlib`` + numpy: chunk walk, inflate,
+all five scanline filters, gray/RGB/palette/alpha color types — no PIL)
+with nearest-neighbor resize and 8×8 grayscale features, plus PCM WAV
+audio (stdlib ``wave``, 64-bin log-energy spectrum). The remaining
+compressed formats (JPEG/MP3/MP4 video) genuinely require libjpeg/ffmpeg,
 absent from this container: those branches raise NotImplementedError for a
 deployment to swap in. ``decode="fake"`` keeps the deterministic
 content-hash stand-in for plumbing tests.
@@ -112,6 +114,132 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1]  # BGR -> RGB
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter 0 rows,
+    stdlib zlib) — the write side of decode_png; no imaging libs."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * 3)
+    raster = b"".join(b"\x00" + r.tobytes() for r in rows)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the PNG scanline filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth). Sub is a per-channel cumulative sum (vectorized); Up is a
+    vector add of the previous OUTPUT row; Average/Paeth depend on the
+    left neighbor being already reconstructed, so those rows fall back to
+    a per-pixel loop — correctness over speed for foreign files (our own
+    encoder writes filter 0)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:
+            acc = cur.reshape(w, ch)
+            out[y] = (np.cumsum(acc, axis=0) % 256).reshape(stride)
+        elif f == 2:
+            out[y] = (cur + prev) % 256
+        elif f == 3:
+            line = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (cur[i] + (a + prev[i]) // 2) % 256
+            out[y] = line
+        elif f == 4:
+            line = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] + pr) % 256
+            out[y] = line
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB. Pure stdlib zlib + numpy — no PIL.
+
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped (training
+    features come from color content); 16-bit and Adam7 raise."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace}); "
+            "8-bit non-interlaced only"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("PNG raster size mismatch")
+    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype == 2:
+        return img
+    if ctype == 6:
+        return img[..., :3]
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[..., :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    return plte[img[..., 0]]
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (float64 mono waveform in [-1, 1], sample_rate).
     stdlib ``wave`` + numpy — no external audio libs."""
@@ -164,13 +292,16 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Container-sniffing decode → FEATURE_DIM features. REAL for the
-    lib-free formats (P6 PPM / 24-bit BMP images, PCM WAV audio); video
-    and compressed formats (JPEG/PNG/MP3/MP4) still need PIL/ffmpeg and
+    lib-free formats (P6 PPM / 24-bit BMP / 8-bit PNG images — PNG via
+    stdlib zlib, no PIL — and PCM WAV audio); video and the remaining
+    compressed formats (JPEG/MP3/MP4) genuinely need libjpeg/ffmpeg and
     raise — a deployment swaps those branches in."""
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
     if payload[:2] == b"BM":
         return image_features(decode_bmp(payload))
+    if payload[:8] == PNG_SIG:
+        return image_features(decode_png(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
     raise NotImplementedError(

@@ -596,3 +596,113 @@ def test_trained_ivf_recall_beats_hash_and_floor(spark, monkeypatch):
     r_trained = recall(trained)
     assert r_trained >= 0.9, r_trained  # clustered data: trained cells are tight
     assert r_trained > r_hash, (r_trained, r_hash)
+
+
+def test_png_roundtrip_and_filters():
+    """decode_png(encode_png(img)) == img; each of the five scanline
+    filters reconstructs exactly (filtered rasters crafted by applying the
+    forward filter per spec); gray / palette / alpha color types map to
+    RGB correctly. Pure stdlib zlib + numpy — no PIL in the container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyhydroqc_spark.textops import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_png(mm.encode_png(img)), img)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, ctype, ch, raster, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            mm.PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+        )
+
+    # forward-filter a known RGB image with every filter type per row
+    h, w, ch = 7, 9, 3
+    base = rng.integers(0, 256, (h, w * ch), dtype=np.uint8).astype(np.int64)
+    lines = []
+    for y in range(h):
+        f = y % 5
+        cur = base[y]
+        prev = base[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        filt = np.zeros(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (cur[i] - pred) % 256
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+    payload = build(w, h, 2, 3, b"".join(lines))
+    np.testing.assert_array_equal(
+        mm.decode_png(payload), base.astype(np.uint8).reshape(h, w, ch)
+    )
+
+    # gray (type 0) → replicated channels
+    g = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    raster = b"".join(b"\x00" + r.tobytes() for r in g)
+    got = mm.decode_png(build(5, 4, 0, 1, raster))
+    np.testing.assert_array_equal(got, np.repeat(g[..., None], 3, axis=2))
+
+    # palette (type 3) → PLTE lookup
+    plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (3, 6), dtype=np.uint8)
+    raster = b"".join(b"\x00" + r.tobytes() for r in idx)
+    got = mm.decode_png(
+        build(6, 3, 3, 1, raster, extra=chunk(b"PLTE", plte.tobytes()))
+    )
+    np.testing.assert_array_equal(got, plte[idx])
+
+    # RGBA (type 6) → alpha dropped
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    raster = b"".join(b"\x00" + r.tobytes() for r in rgba.reshape(3, 16))
+    got = mm.decode_png(build(4, 3, 6, 4, raster))
+    np.testing.assert_array_equal(got, rgba[..., :3])
+
+
+def test_png_features_through_spark_kernel(spark):
+    """PNG payloads flow through the real mapInPandas decode kernel
+    alongside PPM/BMP — same features for the same pixels regardless of
+    container format."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import multimodal as mm
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [
+        ("png", mm.encode_png(img), "image"),
+        ("ppm", mm.encode_ppm(img), "image"),
+        ("bmp", mm.encode_bmp(img), "image"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "media", "kind"])
+    )
+    feats = (
+        mm.extract_features(df, decode="real")
+        .toPandas().set_index("media_id")["features"]
+    )
+    np.testing.assert_allclose(feats["png"], feats["ppm"], atol=1e-6)
+    np.testing.assert_allclose(feats["png"], feats["bmp"], atol=1e-6)
