@@ -168,8 +168,17 @@ def main():
         "cluster size.",
     ]
     out = os.path.join(REPO, "BENCH", "TEXTOPS.md")
+    # preserve the deep-dive sections other tools appended (simhash 1M,
+    # IVF recall): everything from the first "## " section after the
+    # standard block survives a rerun
+    tail = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {out}", file=sys.stderr)
 
 
