@@ -106,7 +106,11 @@ def arima_residuals_fixed(
         pdf[pred_col] = pred
         return pdf
 
-    return df.groupBy(key).applyInPandas(apply_fn, schema=out_schema)
+    # pin the grouped-map parallelism: the shuffled rows are tiny by BYTES
+    # (AQE would coalesce the kernel stage to one task) while the per-series
+    # work is CPU-heavy — the repo-wide AQE-coalescing-trap treatment
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key).groupBy(key).applyInPandas(apply_fn, schema=out_schema)
 
 
 def arima_residuals_sql(
