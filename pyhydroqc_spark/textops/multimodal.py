@@ -302,6 +302,10 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
         return image_features(decode_bmp(payload))
     if payload[:8] == PNG_SIG:
         return image_features(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
     raise NotImplementedError(

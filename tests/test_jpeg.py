@@ -1,0 +1,103 @@
+"""Baseline JPEG codec (pure numpy + stdlib, textops/jpeg.py): roundtrip
+within quantization error across sampling/restart variants, exactness on
+constant blocks, spec-path rejections, and the Spark decode-kernel hookup."""
+
+import numpy as np
+import pytest
+
+from pyhydroqc_spark.textops import jpeg, multimodal
+
+
+@pytest.fixture(scope="module")
+def smooth_img():
+    yy, xx = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+    return np.stack(
+        [
+            (128 + 80 * np.sin(yy / 9)).astype(np.uint8),
+            (128 + 80 * np.cos(xx / 11)).astype(np.uint8),
+            (128 + 60 * np.sin((yy + xx) / 13)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def test_constant_image_roundtrips_exactly():
+    img = np.full((24, 24, 3), 137, dtype=np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_smooth_roundtrip_within_quantization(smooth_img):
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img))
+    err = np.abs(got.astype(int) - smooth_img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+
+def test_noise_roundtrip_psnr():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    mse = float(np.mean((got.astype(float) - img.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 30  # dB
+
+
+def test_420_subsampling_roundtrip(smooth_img):
+    """4:2:0 exercises the decoder's MCU interleave + chroma upsampling;
+    luma must stay tight (chroma pays the 2x2 averaging)."""
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img, subsampling="420"))
+    lum = lambda a: a.astype(float) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(lum(got) - lum(smooth_img)).max() < 6
+    assert np.abs(got.astype(int) - smooth_img.astype(int)).max() < 20
+
+
+def test_restart_markers_reset_predictors(smooth_img):
+    """DRI/RSTn path: identical reconstruction with restart intervals on
+    (the interval split + DC-predictor reset must be lossless plumbing)."""
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img))
+    rst = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img, restart_every=3))
+    np.testing.assert_array_equal(plain, rst)
+    r420 = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(smooth_img, subsampling="420", restart_every=2)
+    )
+    assert np.abs(r420.astype(int) - smooth_img.astype(int)).max() < 20
+
+
+def test_odd_dimensions_pad_and_crop():
+    rng = np.random.default_rng(8)
+    img = (rng.integers(0, 8, (13, 19, 3)) * 16 + 64).astype(np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert got.shape == img.shape
+
+
+def test_progressive_and_garbage_rejected(smooth_img):
+    payload = bytearray(jpeg.encode_jpeg(smooth_img))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.decode_jpeg(b"\x89PNG1234")
+
+
+def test_jpeg_through_spark_kernel(spark, smooth_img):
+    """JPEG payloads flow through the real mapInPandas decode kernel; the
+    features match the lossless containers of the same pixels to within
+    the codec's quantization error."""
+    import pandas as pd
+
+    rows = [
+        ("jpg", jpeg.encode_jpeg(smooth_img), "image"),
+        ("jpg420", jpeg.encode_jpeg(smooth_img, subsampling="420"), "image"),
+        ("png", multimodal.encode_png(smooth_img), "image"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "media", "kind"])
+    )
+    feats = (
+        multimodal.extract_features(df, decode="real")
+        .toPandas()
+        .set_index("media_id")["features"]
+    )
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats)
+    np.testing.assert_allclose(feats["jpg"], feats["png"], atol=12 / 255)
+    np.testing.assert_allclose(feats["jpg420"], feats["png"], atol=20 / 255)
