@@ -6,9 +6,11 @@ batch memory, partition sizing by byte-weight. Codecs (``decode="real"``)
 are REAL for the lib-free formats — P6 PPM, uncompressed 24-bit BMP, and
 8-bit PNG images (PNG via stdlib ``zlib`` + numpy: chunk walk, inflate,
 all five scanline filters, gray/RGB/palette/alpha color types — no PIL)
-with nearest-neighbor resize and 8×8 grayscale features, plus PCM WAV
-audio (stdlib ``wave``, 64-bin log-energy spectrum). The remaining
-compressed formats (JPEG/MP3/MP4 video) genuinely require libjpeg/ffmpeg,
+with nearest-neighbor resize and 8×8 grayscale features, BASELINE JPEG
+(textops/jpeg.py: Huffman entropy decode, IDCT, chroma upsampling,
+restart markers — pure numpy, no libjpeg), plus PCM WAV audio (stdlib
+``wave``, 64-bin log-energy spectrum). The remaining formats
+(progressive JPEG, MP3, MP4 video) genuinely require libjpeg/ffmpeg,
 absent from this container: those branches raise NotImplementedError for a
 deployment to swap in. ``decode="fake"`` keeps the deterministic
 content-hash stand-in for plumbing tests.
@@ -292,10 +294,10 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Container-sniffing decode → FEATURE_DIM features. REAL for the
-    lib-free formats (P6 PPM / 24-bit BMP / 8-bit PNG images — PNG via
-    stdlib zlib, no PIL — and PCM WAV audio); video and the remaining
-    compressed formats (JPEG/MP3/MP4) genuinely need libjpeg/ffmpeg and
-    raise — a deployment swaps those branches in."""
+    lib-free formats: P6 PPM / 24-bit BMP / 8-bit PNG (stdlib zlib) /
+    baseline JPEG (pure-numpy Huffman+IDCT) images and PCM WAV audio.
+    Video and the formats that genuinely need ffmpeg (progressive JPEG,
+    MP3, MP4) raise — a deployment swaps those branches in."""
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
     if payload[:2] == b"BM":
