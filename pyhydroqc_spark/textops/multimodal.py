@@ -8,9 +8,11 @@ are REAL for the lib-free formats — P6 PPM, uncompressed 24-bit BMP, and
 all five scanline filters, gray/RGB/palette/alpha color types — no PIL)
 with nearest-neighbor resize and 8×8 grayscale features, BASELINE JPEG
 (textops/jpeg.py: Huffman entropy decode, IDCT, chroma upsampling,
-restart markers — pure numpy, no libjpeg), plus PCM WAV audio (stdlib
-``wave``, 64-bin log-energy spectrum). The remaining formats
-(progressive JPEG, MP3, MP4 video) genuinely require libjpeg/ffmpeg,
+restart markers — pure numpy, no libjpeg), PCM WAV audio (stdlib
+``wave``, 64-bin log-energy spectrum), and uncompressed RIFF/AVI video
+(raw-DIB '00db' frames → frame-sampled mean image features). The
+remaining formats (progressive JPEG, MP3, MJPG/H.264 video) require
+libjpeg/ffmpeg,
 absent from this container: those branches raise NotImplementedError for a
 deployment to swap in. ``decode="fake"`` keeps the deterministic
 content-hash stand-in for plumbing tests.
@@ -265,6 +267,101 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → uncompressed AVI (RIFF, 'DIB '
+    video stream, one '00db' chunk per frame, BGR bottom-up DIB rasters) —
+    the write side of decode_avi; no video libs."""
+    import struct
+
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0
+    ) + struct.pack("<hhhh", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI ('DIB '/raw '00db' frames) → ((n, h, w, 3) uint8
+    RGB, fps). Pure struct + numpy — compressed codecs inside an AVI
+    (MJPG etc.) raise for the ffmpeg deployment seam."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = None
+    us_per_frame = 0
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal w, h, us_per_frame
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<IIIIIIIIII", payload, data_start)
+                us_per_frame = vals[0]
+                w, h = vals[8], vals[9]
+            elif fourcc in (b"00db", b"00dc"):
+                if fourcc == b"00dc":
+                    raise ValueError(
+                        "compressed AVI stream — deploy ffmpeg for MJPG/H.264"
+                    )
+                frames.append((data_start, size))
+            pos = data_start + size + (size % 2)
+
+    walk(12, len(payload))
+    if w is None or not frames:
+        raise ValueError("malformed AVI (missing avih/frames)")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, (off, size) in enumerate(frames):
+        if size < stride * h:
+            raise ValueError("frame raster too small for declared dims")
+        rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR
+    fps = 1_000_000 / us_per_frame if us_per_frame else 0.0
+    return out, fps
+
+
+def video_features(frames: np.ndarray, max_frames: int = 8) -> np.ndarray:
+    """FEATURE_DIM features for a clip: mean of per-frame image features
+    over ≤max_frames evenly-sampled frames — deterministic, numpy-only."""
+    n = len(frames)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    ix = np.unique((np.arange(min(max_frames, n)) * n) // min(max_frames, n))
+    feats = np.stack([image_features(frames[i]) for i in ix])
+    return feats.mean(axis=0).astype(np.float32)
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize by integer index maps — pure numpy."""
     h, w = img.shape[:2]
@@ -310,6 +407,8 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
         return image_features(decode_jpeg(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return video_features(decode_avi(payload)[0])
     raise NotImplementedError(
         f"no lib-free codec for this {kind} payload (magic={payload[:4]!r}); "
         "deploy with PIL/ffmpeg or use decode='fake' for the stand-in"

@@ -706,3 +706,48 @@ def test_png_features_through_spark_kernel(spark):
     )
     np.testing.assert_allclose(feats["png"], feats["ppm"], atol=1e-6)
     np.testing.assert_allclose(feats["png"], feats["bmp"], atol=1e-6)
+
+
+def test_avi_roundtrip_and_video_features(spark):
+    """Uncompressed AVI: frames roundtrip exactly; video features = mean
+    of sampled per-frame image features (a constant-color clip's features
+    equal that color's image features); compressed streams raise for the
+    ffmpeg seam; the Spark kernel decodes video payloads alongside the
+    other modalities."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import multimodal as mm
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (5, 12, 17, 3), dtype=np.uint8)
+    payload = mm.encode_avi(frames, fps=10)
+    dec, fps = mm.decode_avi(payload)
+    np.testing.assert_array_equal(dec, frames)
+    assert fps == 10.0
+
+    const = np.full((4, 16, 16, 3), 200, dtype=np.uint8)
+    np.testing.assert_allclose(
+        mm.video_features(const), mm.image_features(const[0]), atol=1e-6
+    )
+
+    # a '00dc' (compressed) stream chunk must raise
+    bad = bytearray(payload)
+    i = bad.find(b"00db")
+    bad[i : i + 4] = b"00dc"
+    with pytest.raises(ValueError, match="compressed AVI"):
+        mm.decode_avi(bytes(bad))
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("clip", payload, "video"), ("img", mm.encode_png(frames[0]), "image")],
+            columns=["media_id", "media", "kind"],
+        )
+    )
+    feats = (
+        mm.extract_features(df, decode="real")
+        .toPandas().set_index("media_id")["features"]
+    )
+    assert all(len(v) == mm.FEATURE_DIM for v in feats)
