@@ -867,12 +867,14 @@ def q_comp_roundtrip(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction over lib-free payloads: deterministic
-    constant-channel 16×16 images built per document id — P6 PPM (id%3==0),
-    24-bit BMP (id%3==1), or 8-bit PNG via the stdlib-zlib codec (id%3==2)
-    — through the REAL container-sniffing decode + 8×8 grayscale feature
-    kernel (textops/multimodal.py). With R=G=B=p the grayscale equals p,
-    so features×255 are integers the oracle reproduces in closed form
-    regardless of container format."""
+    constant-channel 16×16 images built per document id — P6 PPM (id%4==0),
+    24-bit BMP (id%4==1), 8-bit PNG via the stdlib-zlib codec (id%4==2), or
+    an uncompressed AVI clip of two identical frames (id%4==3; clip
+    features = mean over identical frames = the image's features) —
+    through the REAL container-sniffing decode kernels
+    (textops/multimodal.py). With R=G=B=p the grayscale equals p, so
+    features×255 are integers the oracle reproduces in closed form
+    regardless of container format or modality."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -901,9 +903,11 @@ def q_multimodal_features(spark, sf_dir):
                     multimodal.encode_ppm,
                     multimodal.encode_bmp,
                     multimodal.encode_png,
-                ][int(i) % 3]
+                    lambda im: multimodal.encode_avi(np.stack([im, im])),
+                ][int(i) % 4]
                 payload = enc(img)
-                rows.append((str(int(i)), payload, "image"))
+                kind = "video" if int(i) % 4 == 3 else "image"
+                rows.append((str(int(i)), payload, kind))
             yield pd.DataFrame(rows, columns=["media_id", "media", "kind"])
 
     media = ids.mapInPandas(build, schema=media_schema)
