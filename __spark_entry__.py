@@ -867,10 +867,11 @@ def q_comp_roundtrip(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction over lib-free payloads: deterministic
-    constant-channel 16×16 images built per document id — P6 PPM (id%4==0),
-    24-bit BMP (id%4==1), 8-bit PNG via the stdlib-zlib codec (id%4==2), or
-    an uncompressed AVI clip of two identical frames (id%4==3; clip
-    features = mean over identical frames = the image's features) —
+    constant-channel 16×16 images built per document id — P6 PPM (id%5==0),
+    24-bit BMP (id%5==1), 8-bit PNG via the stdlib-zlib codec (id%5==2),
+    an uncompressed AVI clip of two identical frames (id%5==3; clip
+    features = mean over identical frames = the image's features), or a
+    GIF via the pure-Python LZW codec (id%5==4; gray palette ≤256) —
     through the REAL container-sniffing decode kernels
     (textops/multimodal.py). With R=G=B=p the grayscale equals p, so
     features×255 are integers the oracle reproduces in closed form
@@ -899,14 +900,17 @@ def q_multimodal_features(spark, sf_dir):
             for i in pdf["id"]:
                 p = ((int(i) * 31 + yy * 16 + xx * 3) % 256).astype(np.uint8)
                 img = np.stack([p, p, p], axis=-1)
+                from pyhydroqc_spark.textops.gif import encode_gif
+
                 enc = [
                     multimodal.encode_ppm,
                     multimodal.encode_bmp,
                     multimodal.encode_png,
                     lambda im: multimodal.encode_avi(np.stack([im, im])),
-                ][int(i) % 4]
+                    encode_gif,
+                ][int(i) % 5]
                 payload = enc(img)
-                kind = "video" if int(i) % 4 == 3 else "image"
+                kind = "video" if int(i) % 5 == 3 else "image"
                 rows.append((str(int(i)), payload, kind))
             yield pd.DataFrame(rows, columns=["media_id", "media", "kind"])
 

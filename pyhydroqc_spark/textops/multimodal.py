@@ -9,9 +9,10 @@ all five scanline filters, gray/RGB/palette/alpha color types — no PIL)
 with nearest-neighbor resize and 8×8 grayscale features, BASELINE JPEG
 (textops/jpeg.py: Huffman entropy decode, IDCT, chroma upsampling,
 restart markers — pure numpy, no libjpeg), PCM WAV audio (stdlib
-``wave``, 64-bin log-energy spectrum), and uncompressed RIFF/AVI video
-(raw-DIB '00db' frames → frame-sampled mean image features). The
-remaining formats (progressive JPEG, MP3, MJPG/H.264 video) require
+``wave``, 64-bin log-energy spectrum), uncompressed RIFF/AVI video
+(raw-DIB '00db' frames → frame-sampled mean image features), and GIF
+(textops/gif.py: full variable-width LZW + interlacing, pure Python).
+The remaining formats (progressive JPEG, MP3, MJPG/H.264 video) require
 libjpeg/ffmpeg,
 absent from this container: those branches raise NotImplementedError for a
 deployment to swap in. ``decode="fake"`` keeps the deterministic
@@ -405,6 +406,10 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return image_features(decode_jpeg(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return image_features(decode_gif(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":

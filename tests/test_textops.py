@@ -751,3 +751,113 @@ def test_avi_roundtrip_and_video_features(spark):
         .toPandas().set_index("media_id")["features"]
     )
     assert all(len(v) == mm.FEATURE_DIM for v in feats)
+
+
+def test_gif_roundtrip_real_lzw_and_interlace(spark):
+    """GIF: (a) palette roundtrip via our encoder; (b) a PROPER LZW stream
+    (dictionary growth + code-width bumps, compressed in-test per spec)
+    decodes correctly; (c) interlaced frames deinterlace; (d) rejection
+    paths; (e) features match PNG of the same pixels through the Spark
+    kernel (both lossless)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import gif
+    from pyhydroqc_spark.textops import multimodal as mm
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 200, (23, 31))]
+    np.testing.assert_array_equal(gif.decode_gif(gif.encode_gif(img)), img)
+
+    # ---- proper LZW (what real encoders emit): repetitive indices force
+    # dictionary growth across a width bump
+    h, w = 16, 64
+    idx = (np.arange(h * w) // 7 % 5).astype(np.uint8)  # runs -> dict use
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    width_sched = []
+    cur = b""
+    for v in idx:
+        cand = cur + bytes([int(v)])
+        if cand in table:
+            cur = cand
+        else:
+            codes.append(table[cur])
+            table[cand] = nxt
+            nxt += 1
+            cur = bytes([int(v)])
+    codes.append(table[cur])
+    codes.append(eoi)
+    # pack LSB-first with the standard width schedule
+    out = bytearray()
+    acc = n = 0
+    width = mcs + 1
+    size = eoi + 1
+    for c in codes[:1]:
+        acc |= c << n; n += width
+        while n >= 8:
+            out.append(acc & 0xFF); acc >>= 8; n -= 8
+    for c in codes[1:]:
+        acc |= c << n; n += width
+        while n >= 8:
+            out.append(acc & 0xFF); acc >>= 8; n -= 8
+        if c != eoi:
+            size += 1
+            if size - 1 == (1 << width) and width < 12:
+                width += 1
+    if n:
+        out.append(acc & 0xFF)
+
+    gct = np.zeros((256, 3), dtype=np.uint8)
+    gct[:5] = [[10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 40, 0], [0, 50, 50]]
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0) + gct.tobytes()
+    payload += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    payload.append(mcs)
+    for i in range(0, len(out), 255):
+        blk = out[i : i + 255]
+        payload.append(len(blk)); payload += blk
+    payload += b"\x00\x3b"
+    got = gif.decode_gif(bytes(payload))
+    np.testing.assert_array_equal(got, gct[idx.reshape(h, w)])
+
+    # ---- interlace: permute rows into pass order, set the flag
+    ih = img.shape[0]
+    rows = (
+        list(range(0, ih, 8)) + list(range(4, ih, 8))
+        + list(range(2, ih, 4)) + list(range(1, ih, 2))
+    )
+    inter = bytearray(gif.encode_gif(img[rows]))  # pre-permuted to pass order
+    # image descriptor sits right after header(6) + LSD(7) + GCT
+    gct_n = 2 << (inter[10] & 0x07)
+    d2 = 13 + gct_n * 3
+    assert inter[d2] == 0x2C
+    inter[d2 + 9] |= 0x40  # interlace flag
+    np.testing.assert_array_equal(gif.decode_gif(bytes(inter)), img)
+
+    # ---- rejections
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif.decode_gif(b"NOPE")
+    with pytest.raises(ValueError, match="unique colors"):
+        gif.encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+    # ---- Spark kernel: GIF features == PNG features (both lossless)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("gif", gif.encode_gif(img), "image"),
+             ("png", mm.encode_png(img), "image")],
+            columns=["media_id", "media", "kind"],
+        )
+    )
+    feats = (
+        mm.extract_features(df, decode="real")
+        .toPandas().set_index("media_id")["features"]
+    )
+    np.testing.assert_allclose(feats["gif"], feats["png"], atol=1e-6)
