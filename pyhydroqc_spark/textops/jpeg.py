@@ -322,12 +322,16 @@ def encode_jpeg(
     Lossy by qscale (plus chroma averaging for 420)."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    sub = 2 if subsampling == "420" else 1
+    gray = img.ndim == 2
+    sub = 1 if gray else (2 if subsampling == "420" else 1)
     h, w = img.shape[:2]
     x = img.astype(np.float64)
-    y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
-    cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2] + 128.0
-    cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2] + 128.0
+    if gray:
+        y, cb, cr = x, None, None
+    else:
+        y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2] + 128.0
+        cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2] + 128.0
 
     q = np.full(64, qscale, dtype=np.uint8)
     dc_syms = list(range(12))
@@ -349,7 +353,9 @@ def encode_jpeg(
         return out
 
     yp = pad(y)
-    if sub == 2:
+    if gray:
+        cbp = crp = None
+    elif sub == 2:
         cbp = pad(cb)
         crp = pad(cr)
         cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
@@ -408,8 +414,9 @@ def encode_jpeg(
             for by in range(sub):
                 for bx in range(sub):
                     emit_block(0, yp, my * sub + by, mx * sub + bx)
-            emit_block(1, cbp, my, mx)
-            emit_block(2, crp, my, mx)
+            if not gray:
+                emit_block(1, cbp, my, mx)
+                emit_block(2, crp, my, mx)
     bw.flush()
     entropy += bw.out
 
@@ -418,15 +425,17 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, b"\x00" + q.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, hv in ((1, (sub << 4) | sub), (2, 0x11), (3, 0x11)):
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    comp_ids = (1,) if gray else (1, 2, 3)
+    for cid, hv in zip(comp_ids, ((sub << 4) | sub, 0x11, 0x11)):
         sof += struct.pack(">BBB", cid, hv, 0)
     out += seg(0xC0, sof)
     out += seg(0xC4, b"\x00" + dc_counts + dc_symbytes)
     out += seg(0xC4, b"\x10" + ac_counts + ac_symbytes)
     if restart_every:
         out += seg(0xDD, struct.pack(">H", restart_every))
-    sos = b"\x03" + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+    sos = bytes([ncomp]) + b"".join(struct.pack(">BB", cid, 0x00) for cid in comp_ids)
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += entropy

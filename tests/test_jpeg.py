@@ -101,3 +101,12 @@ def test_jpeg_through_spark_kernel(spark, smooth_img):
     assert all(len(v) == multimodal.FEATURE_DIM for v in feats)
     np.testing.assert_allclose(feats["jpg"], feats["png"], atol=12 / 255)
     np.testing.assert_allclose(feats["jpg420"], feats["png"], atol=20 / 255)
+
+
+def test_grayscale_single_component(smooth_img):
+    """1-component JPEG (gray) decodes via the replicated-channel path."""
+    g = (smooth_img.astype(float) @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(g))
+    assert got.shape == (*g.shape, 3)
+    assert (got[..., 0] == got[..., 1]).all() and (got[..., 1] == got[..., 2]).all()
+    assert np.abs(got[..., 0].astype(int) - g.astype(int)).max() <= 12
