@@ -951,6 +951,25 @@ def q_dup_components(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the memory-at-rest scale path: 64-dim
+    float vectors → 8 one-byte codes, ~64× smaller, ADC-scored from RAM
+    at 10^9 vectors): md5-derived sub-codebooks (replayable), PQ-encode,
+    asymmetric-distance top-30 refine, exact cosine rerank to top-10."""
+    from pyhydroqc_spark.textops import ann
+
+    emb = _emb(spark, sf_dir)
+    books = ann.pq_codebooks_hash(64, m=8, k=16)
+    codes = ann.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ann.pq_topk(codes, queries, books, k=10, refine=30, full_vectors=emb)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_streaming_rollup(spark, sf_dir):
     """§2.10 driver-gated END TO END: events → token arrays → TWO
     incremental Structured-Streaming drains (AvailableNow + cell-scoped
@@ -1063,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "dup_keep_list": q_dup_keep_list,
         "streaming_rollup": q_streaming_rollup,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -2063,6 +2083,56 @@ WITH w0 AS (
 SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS component,
        (src = MIN(dst)) AS keep
 FROM reach GROUP BY src
+"""
+
+    # PQ/ADC: md5-derived sub-codebooks (8 subvectors × 16 centroids over
+    # the normalized 64-dim embedding); code = argmin of |c|²−2 s·c per
+    # subvector (ties to lower c); ADC candidate order per query uses the
+    # same |c|²−2 q_s·c sums (the +|q_s|² term is constant per query);
+    # top-30 by (adc, id) then exact-cosine rerank to 10
+    sql["pq_topk"] = """
+WITH cents AS (
+  SELECT j, c, list_transform(range(0, 8), dd ->
+    CAST(('0x' || substr(md5('pq|' || CAST(j AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+          || '|' || CAST(j * 8 + dd AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS cv
+  FROM (SELECT unnest(range(0, 8)) AS j) js
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cs
+), emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_dot_product(embedding, embedding))) AS e
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, j, list_slice(e, j * 8 + 1, (j + 1) * 8) AS s
+  FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+), d2 AS (
+  SELECT sub.vec_id, sub.j, cents.c,
+         list_dot_product(cents.cv, cents.cv) - 2 * list_dot_product(sub.s, cents.cv) AS d
+  FROM sub JOIN cents ON cents.j = sub.j
+), codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d2) WHERE rn = 1
+), adc AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, SUM(q.d) AS dist
+  FROM codes n JOIN d2 q ON q.j = n.j AND q.c = n.code
+  WHERE q.vec_id < 5 AND n.vec_id != q.vec_id
+  GROUP BY qid, nid
+), refine AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rr
+    FROM adc) WHERE rr <= 30
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT r.qid, r.nid,
+         ROW_NUMBER() OVER (PARTITION BY r.qid
+           ORDER BY list_cosine_similarity(ne.embedding, qe.embedding) DESC, r.nid) AS rank
+  FROM refine r
+  JOIN embeddings ne ON ne.vec_id = r.nid
+  JOIN embeddings qe ON qe.vec_id = r.qid
+) WHERE rank <= 10
 """
 
     # streaming continuous-aggregate contract: the incrementally-merged

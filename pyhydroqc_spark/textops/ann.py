@@ -375,3 +375,230 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------- PQ (ADC)
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_n: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> list:
+    """Product-quantization codebooks: split the dimension into ``m`` equal
+    subvectors and run Lloyd k-means (``k`` centroids) per subvector on a
+    bounded driver-side sample — same scale contract as
+    ``train_ivf_centroids`` (≤ sample_n vectors ever reach the driver).
+    Vectors are L2-normalized first so PQ distance ranks like cosine.
+    Returns ``m`` codebooks, each a (k, d/m) nested list."""
+    frac_df = df.select(vec_col)
+    n_total = frac_df.count()
+    if n_total > sample_n:
+        frac_df = frac_df.sample(fraction=min(1.0, sample_n * 1.2 / n_total), seed=seed)
+    X = np.array(frac_df.limit(sample_n).toPandas()[vec_col].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * sd : (j + 1) * sd]
+        kk = min(k, len(S))
+        cents = S[rng.choice(len(S), size=kk, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                mem = S[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+                else:
+                    cents[c] = S[int(d2[np.arange(len(S)), assign].argmax())]
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vector) → (id, codes array<int>): each subvector replaced by
+    its nearest sub-centroid id. At 10^9 vectors this is the
+    memory-at-rest lever — a 64-dim float vector (512 B raw, 256 B as
+    float32) becomes m small ints (m bytes as a binary pack): candidates
+    can be scored from RAM where full vectors cannot. Arrow-batched
+    mapInPandas; per batch the assignment is one (batch × k) BLAS distance
+    matrix per subvector — no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sd = books[0].shape[1]
+    key_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, key_type, False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j, cents in enumerate(books):
+                S = X[:, j * sd : (j + 1) * sd]
+                # ||s-c||² argmin == (|c|² - 2 s·c) argmin
+                d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (S @ cents.T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    refine: int = 50,
+    full_vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes → exact rerank.
+
+    Per query the (m × k_centroids) table of exact subvector→centroid
+    distances is computed DRIVER-side (tiny: queries are the small side by
+    contract) and broadcast in the kernel closure; a candidate's
+    approximate distance is the sum of m table lookups — numpy fancy
+    indexing over the whole Arrow batch at once. Each partition emits only
+    its top ``refine`` per query (partial top-k — the shuffle carries
+    O(partitions × queries × refine) rows, never O(n)); the global top
+    ``refine`` are exactly reranked against ``full_vectors`` (true cosine)
+    when provided, else ranked by ADC score. Returns (query_id,
+    neighbor_id, cosine, rank) like the other top-k surfaces."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sd = books[0].shape[1]
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[id_col] for r in qrows]
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[qi, j, c] = ||q_sub - c||²  (exact, asymmetric)
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[:, j * sd : (j + 1) * sd] - books[j][c][None, :]) ** 2).sum(axis=1)
+                    for c in range(len(books[j]))
+                ],
+                axis=1,
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (nq, m, k)
+    qid_set = set(qids)
+
+    out_schema = StructType(
+        [
+            StructField("query_ix", LongType(), False),
+            StructField("neighbor_id", codes_df.schema[id_col].dataType, False),
+            StructField("adc", DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].values
+            # dist[qi, n] = Σ_j lut[qi, j, codes[n, j]]
+            dist = np.zeros((len(Q), len(codes)))
+            for j in range(m):
+                dist += lut[:, j, :][:, codes[:, j]]
+            top = min(refine, dist.shape[1])
+            part = np.argpartition(dist, top - 1, axis=1)[:, :top]
+            rows = []
+            for qi in range(len(Q)):
+                for n_ix in part[qi]:
+                    if ids[n_ix] != qids[qi]:  # drop self-match only
+                        rows.append((qi, ids[n_ix], float(dist[qi, n_ix])))
+            yield pd.DataFrame(rows, columns=["query_ix", "neighbor_id", "adc"])
+
+    cand = codes_df.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_ix").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    top_r = cand.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= refine)
+
+    qmap = codes_df.sparkSession.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], f"query_ix long, query_id {codes_df.schema[id_col].dataType.simpleString()}"
+    )
+    top_r = top_r.join(F.broadcast(qmap), "query_ix")
+
+    if full_vectors is None:
+        return (
+            top_r.where(F.col("__r") <= k)
+            .select("query_id", "neighbor_id", F.col("adc").alias("cosine"), F.col("__r").alias("rank"))
+        )
+    vecs = full_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    qvecs = full_vectors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    scored = (
+        top_r.join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__v"), F.col("__q")) / (_norm(F.col("__v")) * _norm(F.col("__q"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_codebooks_hash(dim: int, m: int = 8, k: int = 16) -> list:
+    """md5-derived PQ sub-codebooks (no training pass) — component
+    (j, c, d) is md5_60(f"pq|{j}|{c}|{d}")/2^59 − 1 with d the GLOBAL
+    dimension index, so any SQL engine regenerates the identical codebook
+    (the ivf_centroids recipe). Use ``train_pq_codebooks`` for production
+    recall; this one exists for replayable correctness gates."""
+    import hashlib
+
+    sd = dim // m
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq|{j}|{c}|{j * sd + d}".encode()).hexdigest()[:15],
+                    16,
+                )
+                / 2.0**59
+                - 1.0
+                for d in range(sd)
+            ]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]

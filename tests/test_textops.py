@@ -861,3 +861,67 @@ def test_gif_roundtrip_real_lzw_and_interlace(spark):
         .toPandas().set_index("media_id")["features"]
     )
     np.testing.assert_allclose(feats["gif"], feats["png"], atol=1e-6)
+
+
+def test_pq_adc_topk_recall_and_memory_contract(spark, monkeypatch):
+    """Product quantization: (a) codes are m small ints (the 10^9-vector
+    memory lever); (b) ADC + exact rerank reaches a recall floor vs exact
+    cosine top-k on clustered embeddings and beats ADC-only; (c) training
+    honors the bounded-sample contract; (d) rerank cosines are EXACT for
+    the neighbors it returns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, per = 16, 12, 60
+    means = rng.normal(0, 1.0, (n_clusters, dim))
+    X = np.repeat(means, per, axis=0) + rng.normal(0, 0.2, (n_clusters * per, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(map(list, X))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 71 == 0)
+
+    transfers = []
+    orig = DataFrame.toPandas
+
+    def spy(self):
+        out = orig(self)
+        transfers.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "toPandas", spy)
+    books = ann.train_pq_codebooks(df, m=4, k=32, sample_n=300, seed=5)
+    monkeypatch.setattr(DataFrame, "toPandas", orig)
+    assert transfers and max(transfers) <= 300
+    assert len(books) == 4 and len(books[0][0]) == dim // 4
+
+    codes = ann.pq_encode(df, books)
+    crow = codes.first()
+    assert len(crow["codes"]) == 4 and all(0 <= c < 32 for c in crow["codes"])
+
+    exact = ann.cosine_topk(df, queries, k=10).toPandas()
+    truth = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    got = ann.pq_topk(
+        codes, queries, books, k=10, refine=40, full_vectors=df
+    ).toPandas()
+    byq = got.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(truth[q] & byq.get(q, set())) for q in truth.index)
+    recall = hits / (10 * len(truth))
+    assert recall >= 0.85, recall
+
+    # rerank cosines are exact: cross-check one (query, neighbor) pair
+    r0 = got.iloc[0]
+    qv = X[int(r0["query_id"])]
+    nv = X[int(r0["neighbor_id"])]
+    cos = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+    assert abs(cos - r0["cosine"]) < 1e-9
+
+    # ADC-only (no rerank) must still be a reasonable approximation but
+    # not better than the reranked recall
+    adc_only = ann.pq_topk(codes, queries, books, k=10, refine=40).toPandas()
+    byq2 = adc_only.groupby("query_id")["neighbor_id"].apply(set)
+    hits2 = sum(len(truth[q] & byq2.get(q, set())) for q in truth.index)
+    assert hits2 / (10 * len(truth)) <= recall + 1e-9
