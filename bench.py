@@ -225,8 +225,9 @@ def main():
         # r3 additions: the LSH/codec-heavy surfaces
         "minhash_candidates", "simhash_pairs", "lsh_topk",
         "comp_roundtrip", "multimodal_features",
-        # r4 additions: iterative components + the q=1 psi-filter path
-        "dup_components", "ar11_residuals",
+        # r4 additions: iterative components, the q=1 psi-filter path, and
+        # the PQ/ADC memory-at-rest ANN
+        "dup_components", "ar11_residuals", "pq_topk",
     ]
     if query_names:
         import __spark_entry__ as entrymod

@@ -193,6 +193,17 @@ def main():
         "candidates from the (band, bucket) aggregation.",
     )
 
+    # 9b. PQ/ADC: candidates from per-partition partial top-k, the tiny
+    # query map broadcast, never a cartesian over the codes table
+    audit(
+        "pq_topk (PQ/ADC ANN)",
+        qs["pq_topk"](spark, SF_DIR),
+        must=[r"MapInPandas", r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note="ADC scoring emits only per-partition top-refine rows; the "
+        "query map and query vectors are broadcast; rerank joins on ids.",
+    )
+
     # 10. arima_residuals_sql at DEFAULT settings: no persist of the fact
     # table (recompute-by-default; cache_input=True is opt-in)
     audit(
