@@ -76,7 +76,7 @@ def arima_residuals(
 def arima_residuals_fixed(
     df: DataFrame,
     value_col: str = "observed",
-    model=(0.0, (0.6,), (0.3,), 1),
+    model=None,
     key: str = SERIES_KEY,
     order_col: str = ORDER_COL,
     resid_col: str = "residual",
@@ -88,7 +88,15 @@ def arima_residuals_fixed(
     are applied at scale (the reference's per-sensor configs fix q=1,
     `parameters.py:70-272`): the fit happened once offline, the cluster job
     only applies it, so the math is replayable coefficient-exact by any SQL
-    engine (e_t = Σ_j (−θ)^j z_{t−j}, geometric truncation)."""
+    engine (e_t = Σ_j (−θ)^j z_{t−j}, geometric truncation).
+
+    ``model`` is REQUIRED: applying arbitrary default coefficients would
+    silently produce residuals from a model nobody fit."""
+    if model is None:
+        raise ValueError(
+            "arima_residuals_fixed requires model=(c, phi, theta, d) — "
+            "fixed coefficients must come from an offline fit, not a default"
+        )
     c, phi, theta, d = model
     out_schema = StructType(
         list(df.schema.fields)

@@ -239,9 +239,12 @@ class SnapshotTable:
         cur = self.current_snapshot_id()
         keep = set(range(max(1, cur - keep_last + 1), cur + 1))
         doomed = sorted(
-            p
-            for p in glob.glob(os.path.join(self.snap_dir, "v*.json"))
-            if _manifest_sid(p) not in keep
+            (
+                p
+                for p in glob.glob(os.path.join(self.snap_dir, "v*.json"))
+                if _manifest_sid(p) not in keep
+            ),
+            key=_manifest_sid,  # lexicographic path order inverts past sid 99999
         )
         if doomed:
             # preserve lineage metadata: any ``extra`` key whose most recent

@@ -497,7 +497,8 @@ def pq_topk(
     sd = books[0].shape[1]
     qrows = queries.select(id_col, vec_col).collect()
     qids = [r[id_col] for r in qrows]
-    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    Qraw = [list(map(float, r[vec_col])) for r in qrows]
+    Q = np.array(Qraw, dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     # LUT[qi, j, c] = ||q_sub - c||²  (exact, asymmetric)
     lut = np.stack(
@@ -513,7 +514,6 @@ def pq_topk(
         ],
         axis=1,
     )  # (nq, m, k)
-    qid_set = set(qids)
 
     out_schema = StructType(
         [
@@ -550,15 +550,22 @@ def pq_topk(
     top_r = top_r.join(F.broadcast(qmap), "query_ix")
 
     if full_vectors is None:
+        # ADC squared distance, ascending-good — deliberately NOT named
+        # "cosine" so callers can't mis-rank it against true-cosine surfaces
         return (
             top_r.where(F.col("__r") <= k)
-            .select("query_id", "neighbor_id", F.col("adc").alias("cosine"), F.col("__r").alias("rank"))
+            .select("query_id", "neighbor_id", "adc", F.col("__r").alias("rank"))
         )
     vecs = full_vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
     )
-    qvecs = full_vectors.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    # query vectors come from the caller-supplied queries frame (already
+    # collected above) — NOT from full_vectors, so external queries whose id
+    # is absent from the corpus still rerank correctly
+    qvecs = codes_df.sparkSession.createDataFrame(
+        [(qids[i], Qraw[i]) for i in range(len(qids))],
+        f"query_id {codes_df.schema[id_col].dataType.simpleString()}, "
+        f"__q {queries.schema[vec_col].dataType.simpleString()}",
     )
     scored = (
         top_r.join(vecs, "neighbor_id")

@@ -113,3 +113,14 @@ def test_sql_residuals_match_udf_path(spark, order):
     )
     np.testing.assert_allclose(a["residual"], b["residual"], atol=1e-8)
     np.testing.assert_allclose(a["prediction"], b["prediction"], atol=1e-8)
+
+
+def test_arima_residuals_fixed_requires_model():
+    """No magic default coefficients: omitting ``model`` must raise, not
+    silently apply an arbitrary ARMA(1,1)."""
+    import pytest
+
+    from pyhydroqc_spark.operators import detect
+
+    with pytest.raises(ValueError, match="requires model"):
+        detect.arima_residuals_fixed(None, "observed")

@@ -127,3 +127,41 @@ def test_latest_extra_value_walks_lineage_and_survives_compaction(spark, tmp_pat
     # compact away the snapshot that recorded the mark
     tbl.rewrite_manifests(keep_last=2)
     assert tbl.latest_extra_value("stream_batch_id") == 7
+
+
+def test_rewrite_manifests_extra_carry_order_past_99999(tmp_path):
+    """The orphaned-``extra`` carry loop relies on ascending-sid order
+    (later values win). Past sid 99999 the widened filename v100000.json
+    sorts lexicographically BEFORE v99999.json — a path-sorted loop would
+    let the stale v99999 value overwrite the newer one. Sort by
+    _manifest_sid, not by path."""
+    import json
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    # seed a snapshot at sid 99998 (rewriting history like the parse test)
+    files = dict(tbl._load(tbl.current_snapshot_id())["files"])
+    files["/data/f0.parquet"] = None
+    tbl._commit(files)
+    snap = tbl._load(1)
+    snap["id"] = 99998
+    snap["parent"] = 0
+    with open(tbl._snap_path(99998), "w") as f:
+        json.dump(snap, f)
+    os.remove(tbl._snap_path(1))
+    with open(os.path.join(tbl.snap_dir, "CURRENT"), "w") as f:
+        f.write("99998")
+
+    # 99999 records the OLD mark, 100000 the NEW one, then two plain
+    # commits so both markers become doomed under keep_last=2
+    for i, extra in ((1, {"stream_batch_id": 3}), (2, {"stream_batch_id": 9}),
+                     (3, None), (4, None)):
+        files = dict(tbl._load(tbl.current_snapshot_id())["files"])
+        files[f"/data/f{i}.parquet"] = None
+        tbl._commit(files, extra=extra)
+    assert tbl.current_snapshot_id() == 100002
+
+    removed = tbl.rewrite_manifests(keep_last=2)
+    assert removed == 3  # v99998 + the two mark-carrying manifests
+    # the NEWER mark (sid 100000) must win the carry, not the
+    # lexicographically-later v99999
+    assert tbl.latest_extra_value("stream_batch_id") == 9

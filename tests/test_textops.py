@@ -925,3 +925,40 @@ def test_pq_adc_topk_recall_and_memory_contract(spark, monkeypatch):
     byq2 = adc_only.groupby("query_id")["neighbor_id"].apply(set)
     hits2 = sum(len(truth[q] & byq2.get(q, set())) for q in truth.index)
     assert hits2 / (10 * len(truth)) <= recall + 1e-9
+
+
+def test_pq_topk_external_queries_and_adc_naming(spark):
+    """(a) Query vectors come from the caller's ``queries`` frame — an id
+    ABSENT from the corpus must still rerank and return k rows (the r4
+    version joined full_vectors on query_id and silently dropped such
+    queries). (b) The no-rerank branch exposes its score as ``adc``
+    (ascending-good squared distance), never under the name ``cosine``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 1, (200, 16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(200), "embedding": list(map(list, X))}),
+        "vec_id long, embedding array<double>",
+    )
+    books = ann.train_pq_codebooks(df, m=4, k=16, sample_n=200, seed=3)
+    codes = ann.pq_encode(df, books)
+
+    # external queries: corpus vector 5 under a foreign id, plus a novel one
+    qX = [list(X[5]), list(X[5] * 0.5 + X[17] * 0.5)]
+    queries = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100005, 100006], "embedding": qX}),
+        "vec_id long, embedding array<double>",
+    )
+    got = ann.pq_topk(codes, queries, books, k=5, refine=40, full_vectors=df).toPandas()
+    byq = got.groupby("query_id").size().to_dict()
+    assert byq == {100005: 5, 100006: 5}, byq
+    # query 100005 IS corpus vector 5 → its top neighbor must be 5, cosine 1
+    top = got[(got.query_id == 100005) & (got["rank"] == 1)].iloc[0]
+    assert top["neighbor_id"] == 5 and abs(top["cosine"] - 1.0) < 1e-9
+
+    adc_only = ann.pq_topk(codes, queries, books, k=5, refine=40)
+    assert "adc" in adc_only.columns and "cosine" not in adc_only.columns
