@@ -199,6 +199,25 @@ def q_rollup_tiered_1d(spark, sf_dir):
     )
 
 
+def q_rollup_tiers(spark, sf_dir):
+    """ALL retention tiers in one driver gate: direct 15min/1h/1d rollups
+    plus the 1h→1d tiered cascade (rollup_from_rollup — must equal the
+    direct 1d), unioned under a ``tier`` label so every tier's values are
+    hash-checked independently. Consolidates the four r4 gates
+    rollup_15min/1h/1d/tiered_1d into one queries() slot (the driver
+    artifact caps near 50 entries — see CHANGES_r05.md)."""
+    parts = [
+        _rollup(spark, sf_dir, 900).withColumn("tier", F.lit("15min")),
+        _rollup(spark, sf_dir, 3600).withColumn("tier", F.lit("1h")),
+        _rollup(spark, sf_dir, 86400).withColumn("tier", F.lit("1d")),
+        q_rollup_tiered_1d(spark, sf_dir).withColumn("tier", F.lit("tiered_1d")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_edge_filter(spark, sf_dir):
     from pyhydroqc_spark.operators import calibration
 
@@ -369,6 +388,27 @@ def q_jaccard_ngram(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Exact + wordset dedup in one gate, unioned under a ``method``
+    label (consolidates the r4 dedup_exact and dedup_wordset gates)."""
+    return q_dedup_exact(spark, sf_dir).withColumn(
+        "method", F.lit("exact")
+    ).unionByName(
+        q_dedup_wordset(spark, sf_dir).withColumn("method", F.lit("wordset"))
+    )
+
+
+def q_jaccard_all(spark, sf_dir):
+    """Word-shingle + char-4-gram Jaccard near-dup pairs in one gate,
+    unioned under a ``kind`` label (consolidates jaccard_pairs and
+    jaccard_ngram)."""
+    return q_jaccard_pairs(spark, sf_dir).withColumn(
+        "kind", F.lit("word")
+    ).unionByName(
+        q_jaccard_ngram(spark, sf_dir).withColumn("kind", F.lit("char4"))
+    )
+
+
 def q_embed_dup_pairs(spark, sf_dir):
     from pyhydroqc_spark.textops import ann
 
@@ -444,6 +484,23 @@ def q_token_count(spark, sf_dir):
         F.col("id").cast("long").alias("id"),
         F.col("ws_tokens").cast("long").alias("ws_tokens"),
     )
+
+
+def q_text_quality(spark, sf_dir):
+    """Per-doc text analysis in one gate: text_stats + quality_score +
+    token_count joined on doc id — every component column hash-checked
+    (consolidates three r4 gates into one queries() slot)."""
+    return (
+        q_text_stats(spark, sf_dir)
+        .join(q_quality_score(spark, sf_dir), "id")
+        .join(q_token_count(spark, sf_dir), "id")
+    )
+
+
+def q_doc_profile(spark, sf_dir):
+    """Per-doc language-ID + rolling-hash fingerprint in one gate
+    (consolidates the r4 lang_id and fingerprint gates)."""
+    return q_lang_id(spark, sf_dir).join(q_fingerprint(spark, sf_dir), "id")
 
 
 def q_lang_stats(spark, sf_dir):
@@ -970,6 +1027,31 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC (r5): the composition the r4 verdict demanded — IVF coarse
+    cells prune the scan to nprobe/nlist of the corpus, PQ/ADC scores the
+    survivors from m-byte codes, exact cosine rerank on the global top-30.
+    md5-derived centroids AND sub-codebooks so DuckDB replays the whole
+    index bit-for-bit. pq_topk's full-corpus ADC scan is gone: only codes
+    in probed cells are ever touched."""
+    from pyhydroqc_spark.textops import ann
+
+    emb = _emb(spark, sf_dir)
+    cents = ann.ivf_centroids(64, 16)
+    books = ann.pq_codebooks_hash(64, m=8, k=16)
+    idx = ann.ivfpq_index(emb, cents, books, encode="raw")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ann.ivfpq_topk(
+        idx, queries, cents, books, k=10, nprobe=4, refine=30,
+        full_vectors=emb, encode="raw",
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_streaming_rollup(spark, sf_dir):
     """§2.10 driver-gated END TO END: events → token arrays → TWO
     incremental Structured-Streaming drains (AvailableNow + cell-scoped
@@ -1036,10 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_detect_counts": q_threshold_detect_counts,
         "anomaly_events": q_anomaly_events,
         "group_bools": q_group_bools,
-        "rollup_15min": q_rollup_15min,
-        "rollup_1h": q_rollup_1h,
-        "rollup_1d": q_rollup_1d,
-        "rollup_tiered_1d": q_rollup_tiered_1d,
+        "rollup_tiers": q_rollup_tiers,
         "edge_filter": q_edge_filter,
         "business_hours": q_business_hours,
         "drift_ramp": q_drift_ramp,
@@ -1047,16 +1126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_correct": q_drift_correct,
         "tokenize_stats": q_tokenize_stats,
         "params_join": q_params_join,
-        "dedup_exact": q_dedup_exact,
-        "dedup_wordset": q_dedup_wordset,
-        "jaccard_pairs": q_jaccard_pairs,
-        "jaccard_ngram": q_jaccard_ngram,
+        "dedup_groups": q_dedup_groups,
+        "jaccard_all": q_jaccard_all,
         "embed_dup_pairs": q_embed_dup_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
-        "text_stats": q_text_stats,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
+        "text_quality": q_text_quality,
         "lang_stats": q_lang_stats,
         "ar1_residuals": q_ar1_residuals,
         "ar11_residuals": q_ar11_residuals,
@@ -1071,8 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_metrics": q_point_metrics,
         "aggregate_results": q_aggregate_results,
         "lsh_topk": q_lsh_topk,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
+        "doc_profile": q_doc_profile,
         "event_metrics": q_event_metrics,
         "calib_overlap": q_calib_overlap,
         "const_threshold": q_const_threshold,
@@ -1083,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keep_list": q_dup_keep_list,
         "streaming_rollup": q_streaming_rollup,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -1236,18 +1311,26 @@ SELECT doc_id, pos,
 FROM lg
 """
 
-    for name, tier in [("rollup_15min", 900), ("rollup_1h", 3600), ("rollup_1d", 86400)]:
-        sql[name] = BASE_SQL + f"""
-SELECT doc_id,
+    def _tier_select(tier: int, label: str) -> str:
+        return f"""
+SELECT '{label}' AS tier, doc_id,
        CAST(FLOOR(EPOCH(ts) / {tier}) * {tier} AS BIGINT) AS bucket_s,
        COUNT(value) AS cnt,
        ROUND(SUM(value), 6) AS sum_val,
        ROUND(AVG(value), 6) AS avg_val,
        ROUND(MIN(value), 6) AS min_val,
        ROUND(MAX(value), 6) AS max_val
-FROM base GROUP BY doc_id, bucket_s
-"""
-    sql["rollup_tiered_1d"] = sql["rollup_1d"]
+FROM base GROUP BY doc_id, bucket_s"""
+
+    # the tiered_1d cascade must equal the direct 1d rollup — same oracle
+    sql["rollup_tiers"] = BASE_SQL + "\nUNION ALL".join(
+        [
+            _tier_select(900, "15min"),
+            _tier_select(3600, "1h"),
+            _tier_select(86400, "1d"),
+            _tier_select(86400, "tiered_1d"),
+        ]
+    )
 
     sql["edge_filter"] = BASE_SQL + """
 , st AS (
@@ -1359,71 +1442,71 @@ FROM base b JOIN dim ON CAST(b.doc_id AS BIGINT) % 5 = dim.bucket
 GROUP BY dim.bucket
 """
 
-    sql["dedup_exact"] = """
-SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+    sql["dedup_groups"] = r"""
+SELECT 'exact' AS method, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
 FROM documents GROUP BY md5(text)
-"""
-
-    sql["dedup_wordset"] = r"""
-SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+UNION ALL
+SELECT 'wordset' AS method, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
 FROM documents
 GROUP BY md5(array_to_string(list_sort(list_distinct(
   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))), ' '))
 """
 
+
     # mirrors the engine's default skew guard: tokens in > 50% of docs are
     # dropped before pairing (part of the operator contract)
-    sql["jaccard_pairs"] = r"""
-WITH w0 AS (
+    sql["jaccard_all"] = r"""
+WITH w0_w AS (
   SELECT doc_id, unnest(list_distinct(
     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS wd
   FROM documents
-), hot AS (
-  SELECT wd FROM w0 GROUP BY wd
+), hot_w AS (
+  SELECT wd FROM w0_w GROUP BY wd
   HAVING COUNT(DISTINCT doc_id) > 0.5 * (SELECT COUNT(*) FROM documents)
-), w AS (
-  SELECT * FROM w0 WHERE wd NOT IN (SELECT wd FROM hot)
-), sz AS (
-  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
-), c AS (
+), w_w AS (
+  SELECT * FROM w0_w WHERE wd NOT IN (SELECT wd FROM hot_w)
+), sz_w AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w_w GROUP BY doc_id
+), c_w AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
-  FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+  FROM w_w a JOIN w_w b ON a.wd = b.wd AND a.doc_id < b.doc_id
   GROUP BY ia, ib
-)
-SELECT ia AS id_a, ib AS id_b,
-       ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
-FROM c
-JOIN sz sa ON sa.doc_id = ia
-JOIN sz sb ON sb.doc_id = ib
-WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
-"""
-
-    # char-4-gram Jaccard with the same >50%-doc-freq stopgram cut
-    sql["jaccard_ngram"] = r"""
-WITH w0 AS (
+), out_w AS (
+  SELECT 'word' AS kind, ia AS id_a, ib AS id_b,
+         ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+  FROM c_w
+  JOIN sz_w sa ON sa.doc_id = ia
+  JOIN sz_w sb ON sb.doc_id = ib
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+),
+w0_c AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, greatest(1, length(lower(text)) - 3) + 1),
     i -> substr(lower(text), CAST(i AS INT), 4)))) AS wd
   FROM documents
-), hot AS (
-  SELECT wd FROM w0 GROUP BY wd
+), hot_c AS (
+  SELECT wd FROM w0_c GROUP BY wd
   HAVING COUNT(DISTINCT doc_id) > 0.5 * (SELECT COUNT(*) FROM documents)
-), w AS (
-  SELECT * FROM w0 WHERE wd NOT IN (SELECT wd FROM hot)
-), sz AS (
-  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
-), c AS (
+), w_c AS (
+  SELECT * FROM w0_c WHERE wd NOT IN (SELECT wd FROM hot_c)
+), sz_c AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w_c GROUP BY doc_id
+), c_c AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
-  FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+  FROM w_c a JOIN w_c b ON a.wd = b.wd AND a.doc_id < b.doc_id
   GROUP BY ia, ib
+), out_c AS (
+  SELECT 'char4' AS kind, ia AS id_a, ib AS id_b,
+         ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+  FROM c_c
+  JOIN sz_c sa ON sa.doc_id = ia
+  JOIN sz_c sb ON sb.doc_id = ib
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.4
 )
-SELECT ia AS id_a, ib AS id_b,
-       ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
-FROM c
-JOIN sz sa ON sa.doc_id = ia
-JOIN sz sb ON sb.doc_id = ib
-WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.4
+SELECT * FROM out_w UNION ALL SELECT * FROM out_c
 """
+
+    # char-4-gram Jaccard with the same >50%-doc-freq stopgram cut
 
     # same md5-derived LSH tables as lsh_topk, then exact cosine >= 0.35 on
     # bucket-sharing pairs (a < b)
@@ -1496,9 +1579,11 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10
 """
 
-    sql["text_stats"] = r"""
-WITH w AS (
+    sql["text_quality"] = r"""
+WITH s AS (
   SELECT doc_id, n_chars,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS alnum,
          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
   FROM documents
 )
@@ -1506,32 +1591,17 @@ SELECT doc_id AS id,
        CAST(len(words) AS BIGINT) AS n_words,
        CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
        CAST(n_chars AS BIGINT) AS n_chars,
-       ROUND(list_aggregate(list_transform(words, x -> length(x)), 'sum') * 1.0 / len(words), 6) AS avg_word_len
-FROM w
-"""
-
-    sql["quality_score"] = r"""
-WITH s AS (
-  SELECT doc_id,
-         length(text) AS nc,
-         length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS alnum,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
-  FROM documents
-)
-SELECT doc_id AS id,
+       ROUND(list_aggregate(list_transform(words, x -> length(x)), 'sum') * 1.0 / len(words), 6) AS avg_word_len,
        ROUND((
          (CASE WHEN nc BETWEEN 64 AND 100000 THEN 1.0 ELSE LEAST(nc / 64.0, 1.0) END)
          + len(list_distinct(words)) * 1.0 / GREATEST(len(words), 1)
          + alnum * 1.0 / GREATEST(nc, 1)
-       ) / 3.0, 6) AS quality
+       ) / 3.0, 6) AS quality,
+       CAST(len(words) AS BIGINT) AS ws_tokens
 FROM s
 """
 
-    sql["token_count"] = r"""
-SELECT doc_id AS id,
-       CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens
-FROM documents
-"""
+
 
     sql["lang_stats"] = """
 SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
@@ -1713,17 +1783,6 @@ SELECT site, 's1' AS sensor, pos, ROUND(rb, 6) AS residual FROM resid
     # ---- portable-hash oracles (md5_60(x) = CAST('0x'||substr(md5(x),1,15) AS BIGINT),
     # identical to Spark conv(substring(md5(x),1,15),16,10)) ----
 
-    sql["fingerprint"] = r"""
-WITH d AS (
-  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS c FROM documents
-)
-SELECT doc_id AS id,
-       list_min(list_transform(
-         range(1, greatest(1, length(c) - 7) + 1),
-         i -> CAST(('0x' || substr(md5(substr(c, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
-       )) AS fingerprint
-FROM d
-"""
 
     sql["simhash"] = r"""
 WITH w AS (
@@ -2135,6 +2194,74 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+    sql["ivfpq_topk"] = """
+WITH icents AS (
+  SELECT c, list_transform(range(0, 64), d ->
+    CAST(('0x' || substr(md5('ivf|' || CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS cv
+  FROM (SELECT unnest(range(0, 16)) AS c) cs
+), pcents AS (
+  SELECT j, c, list_transform(range(0, 8), dd ->
+    CAST(('0x' || substr(md5('pq|' || CAST(j AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+          || '|' || CAST(j * 8 + dd AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS cv
+  FROM (SELECT unnest(range(0, 8)) AS j) js
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cs
+), emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_dot_product(embedding, embedding))) AS e
+  FROM embeddings
+), idists AS (
+  SELECT vec_id, c,
+         list_dot_product(cv, cv) - 2 * list_dot_product(e, cv) AS d
+  FROM emb CROSS JOIN icents
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, c AS cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM idists) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, c AS cell FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM idists WHERE vec_id < 5) WHERE rn <= 4
+), sub AS (
+  SELECT vec_id, j, list_slice(e, j * 8 + 1, (j + 1) * 8) AS s
+  FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+), d2 AS (
+  SELECT sub.vec_id, sub.j, pcents.c,
+         list_dot_product(pcents.cv, pcents.cv) - 2 * list_dot_product(sub.s, pcents.cv) AS d
+  FROM sub JOIN pcents ON pcents.j = sub.j
+), codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d2) WHERE rn = 1
+), cand AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM probes p JOIN asg a ON a.cell = p.cell
+  WHERE a.vec_id != p.qid
+), adc AS (
+  SELECT cd.qid, cd.nid, SUM(q.d) AS dist
+  FROM cand cd
+  JOIN codes n ON n.vec_id = cd.nid
+  JOIN d2 q ON q.vec_id = cd.qid AND q.j = n.j AND q.c = n.code
+  GROUP BY cd.qid, cd.nid
+), refine AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rr
+    FROM adc) WHERE rr <= 30
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT r.qid, r.nid,
+         ROW_NUMBER() OVER (PARTITION BY r.qid
+           ORDER BY list_cosine_similarity(ne.embedding, qe.embedding) DESC, r.nid) AS rank
+  FROM refine r
+  JOIN embeddings ne ON ne.vec_id = r.nid
+  JOIN embeddings qe ON qe.vec_id = r.qid
+) WHERE rank <= 10
+"""
+
     # streaming continuous-aggregate contract: the incrementally-merged
     # store equals the one-shot rollup of the same (quantize-roundtripped)
     # points. round_even ↔ Spark rint; T0 = 2022-01-01 UTC, cadence 900 s.
@@ -2217,7 +2344,8 @@ WHERE rk = 1 AND mx > 10.0
   AND (day % 7) BETWEEN 0 AND 4
 """
 
-    sql["lang_id"] = r"""
+    sql["doc_profile"] = r"""
+WITH lp AS (
 WITH w AS (
   SELECT doc_id, list_distinct(
     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS ws
@@ -2239,6 +2367,19 @@ SELECT doc_id AS id, lang AS lang_pred FROM (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
   FROM s
 ) WHERE rn = 1
+), fpr AS (
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS c FROM documents
+)
+SELECT doc_id AS id,
+       list_min(list_transform(
+         range(1, greatest(1, length(c) - 7) + 1),
+         i -> CAST(('0x' || substr(md5(substr(c, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+       )) AS fingerprint
+FROM d
+)
+SELECT lp.id, lp.lang_pred, fpr.fingerprint
+FROM lp JOIN fpr ON fpr.id = lp.id
 """
 
     sql["lsh_topk"] = """

@@ -219,9 +219,13 @@ def main():
 
     # ---------------- driver-table queries ----------------
     query_names = [] if os.environ.get("BENCH_PIPELINE_ONLY") else [
-        "rollup_15min", "range_counts", "interpolated", "dynamic_threshold",
-        "anomaly_events", "tokenize_stats", "dedup_wordset", "ann_topk",
-        "text_stats",
+        # r5: rollup_15min/dedup_wordset/text_stats were consolidated into
+        # the wider gates rollup_tiers/dedup_groups/text_quality (driver
+        # artifact caps near 50 queries) — timings are NOT comparable 1:1
+        # with r4 rows of the narrower names
+        "rollup_tiers", "range_counts", "interpolated", "dynamic_threshold",
+        "anomaly_events", "tokenize_stats", "dedup_groups", "ann_topk",
+        "text_quality",
         # r3 additions: the LSH/codec-heavy surfaces
         "minhash_candidates", "simhash_pairs", "lsh_topk",
         "comp_roundtrip", "multimodal_features",

@@ -541,6 +541,17 @@ def pq_topk(
             yield pd.DataFrame(rows, columns=["query_ix", "neighbor_id", "adc"])
 
     cand = codes_df.mapInPandas(score, schema=out_schema)
+    return _finish_adc_topk(
+        cand, codes_df, queries, qids, Qraw, k, refine, full_vectors, id_col, vec_col
+    )
+
+
+def _finish_adc_topk(
+    cand, codes_df, queries, qids, Qraw, k, refine, full_vectors, id_col, vec_col
+):
+    """Shared tail for ADC-scored top-k surfaces (pq_topk / ivfpq_topk):
+    global top-``refine`` per query by (adc, neighbor_id), then exact
+    cosine rerank against ``full_vectors`` when provided."""
     w = Window.partitionBy("query_ix").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
     top_r = cand.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= refine)
 
@@ -582,6 +593,188 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_index(
+    df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "raw",
+) -> DataFrame:
+    """Build the IVFADC index: (id, vector) → (id, cell, codes) in ONE
+    Arrow pass — IVF coarse-cell assignment plus PQ sub-codes, both from
+    BLAS distance matrices over the whole batch (no per-row Python).
+
+    Vectors are L2-normalized first (cells partition the unit sphere, so
+    coarse assignment ranks like cosine — same convention as
+    ``train_pq_codebooks``/``pq_encode``). ``encode="residual"`` quantizes
+    ``x − centroid[cell]`` instead of ``x`` (the FAISS IVFADC recipe —
+    residuals have much smaller spread per cell, so the same codebook
+    budget buys more recall; requires centroids trained in the normalized
+    space). ``encode="raw"`` keeps codes independent of the cell so a SQL
+    oracle can replay them with the ``pq_codebooks_hash`` recipe.
+
+    At 10^9 vectors write the result partitioned BY ``cell`` — the probe
+    filter then becomes partition pruning and a query touches only
+    ``nprobe/nlist`` of the files."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"encode must be 'raw' or 'residual', got {encode!r}")
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sd = books[0].shape[1]
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("cell", IntegerType(), False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # ||x-c||² argmin == (|c|² - 2 x·c) argmin; argmin ties → lower
+            # cell id (numpy first-hit), matching ORDER BY d, c in SQL
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+            cell = d2.argmin(axis=1).astype(np.int32)
+            base = X - cents[cell] if encode == "residual" else X
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j, bk in enumerate(books):
+                S = base[:, j * sd : (j + 1) * sd]
+                dj = (bk**2).sum(axis=1)[None, :] - 2.0 * (S @ bk.T)
+                codes[:, j] = dj.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "cell": cell, "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 50,
+    full_vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "raw",
+) -> DataFrame:
+    """IVFADC top-k: probe-cell-pruned ADC scan over PQ codes → exact
+    rerank. This composes the two scale levers the r4 surfaces carried
+    separately: ``ivf_topk``'s cell pruning (touch ``nprobe/nlist`` of the
+    corpus per query, not all of it) and ``pq_topk``'s at-rest compression
+    (score m-byte codes from RAM via a driver-tiny lookup table).
+
+    Shape at 10^9 vectors: the probed-cell filter prunes the scan (a
+    partition filter when the index is written partitioned by cell); the
+    (query, cell) probe pairs are broadcast; the kernel emits only each
+    partition's top ``refine`` per query, so the one shuffle carries
+    O(partitions × queries × refine) rows; the exact rerank joins
+    ``refine`` candidate ids back to full vectors. No cross join anywhere.
+
+    ``encode`` must match the value used in ``ivfpq_index`` — for
+    ``"residual"`` the per-query LUT is built per probed cell
+    (``||(q − centroid)_sub − code||²``), still driver-tiny:
+    nq × nprobe × m × k doubles."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"encode must be 'raw' or 'residual', got {encode!r}")
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sd = books[0].shape[1]
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[id_col] for r in qrows]
+    Qraw = [list(map(float, r[vec_col])) for r in qrows]
+    Q = np.array(Qraw, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    # probe cells per query: nprobe nearest centroids (ties → lower cell)
+    qd2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (Q @ cents.T)
+    order = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    probe_pairs = [(qi, int(c)) for qi in range(len(Q)) for c in order[qi]]
+
+    # per-(query, probed-cell) ADC lookup tables, driver-side and tiny
+    def lut_for(q_vec):
+        return np.stack(
+            [
+                ((q_vec[j * sd : (j + 1) * sd][None, :] - books[j]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )  # (m, k)
+
+    if encode == "residual":
+        luts = {
+            (qi, c): lut_for(Q[qi] - cents[c]) for qi, c in probe_pairs
+        }
+    else:
+        base_lut = {qi: lut_for(Q[qi]) for qi in range(len(Q))}
+        luts = {(qi, c): base_lut[qi] for qi, c in probe_pairs}
+
+    spark = index_df.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_ix long, cell int")
+    # cell membership filter prunes the scan; the probe join fans each
+    # candidate row out to only the queries that probed its cell
+    probed_cells = sorted({c for _, c in probe_pairs})
+    cand_rows = index_df.where(F.col("cell").isin(probed_cells)).join(
+        F.broadcast(probes), "cell"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_ix", LongType(), False),
+            StructField("neighbor_id", index_df.schema[id_col].dataType, False),
+            StructField("adc", DoubleType(), False),
+        ]
+    )
+    jix = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            qix = pdf["query_ix"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            ids = pdf["neighbor_id"].values
+            dist = np.empty(len(pdf), dtype=np.float64)
+            # ≤ nq×nprobe distinct (query, cell) LUTs per batch
+            for (qi, c), lut in luts.items():
+                mask = (qix == qi) & (cell == c)
+                if mask.any():
+                    dist[mask] = lut[jix[None, :], codes[mask]].sum(axis=1)
+            out = pd.DataFrame(
+                {"query_ix": qix, "neighbor_id": ids, "adc": dist}
+            )
+            out = out[out["neighbor_id"] != np.array([qids[q] for q in qix])]
+            # partition-local partial top-k caps the shuffle
+            out = (
+                out.sort_values(["query_ix", "adc", "neighbor_id"])
+                .groupby("query_ix", sort=False)
+                .head(refine)
+            )
+            yield out
+
+    cand = cand_rows.select(
+        F.col("query_ix"), F.col(id_col).alias("neighbor_id"), "cell", "codes"
+    ).mapInPandas(score, schema=out_schema)
+    return _finish_adc_topk(
+        cand, index_df, queries, qids, Qraw, k, refine, full_vectors, id_col, vec_col
     )
 
 

@@ -962,3 +962,78 @@ def test_pq_topk_external_queries_and_adc_naming(spark):
 
     adc_only = ann.pq_topk(codes, queries, books, k=5, refine=40)
     assert "adc" in adc_only.columns and "cosine" not in adc_only.columns
+
+
+def test_ivfpq_topk_prunes_cells_and_keeps_recall(spark):
+    """IVFADC (r5): (a) index rows carry (cell, m codes); (b) the scored
+    candidate set only touches PROBED cells — the full-corpus ADC scan that
+    made pq_topk 'weak' is gone; (c) trained residual encoding reaches the
+    recall of IVF-flat at the same nprobe (exact rerank recovers it);
+    (d) every query returns exactly k rows."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(29)
+    means = rng.normal(0, 1.0, (16, 32))
+    X = np.repeat(means, 50, axis=0) + rng.normal(0, 0.15, (800, 32))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(800), "embedding": list(map(list, X))}),
+        "vec_id long, embedding array<double>",
+    )
+    dfn = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(800), "embedding": list(map(list, Xn))}),
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") % 89 == 0)
+
+    cents = ann.train_ivf_centroids(dfn, nlist=8, sample_n=800, seed=3)
+    books = ann.train_pq_codebooks(df, m=4, k=32, sample_n=800, seed=3)
+    idx = ann.ivfpq_index(df, cents, books, encode="residual")
+    ipdf = idx.toPandas()
+    assert set(ipdf.columns) == {"vec_id", "cell", "codes"}
+    assert ipdf["codes"].map(len).eq(4).all()
+    assert ipdf["cell"].between(0, 7).all()
+
+    got = ann.ivfpq_topk(
+        idx, queries, cents, books, k=10, nprobe=4, refine=60,
+        full_vectors=df, encode="residual",
+    ).toPandas()
+    assert got.groupby("query_id").size().eq(10).all()
+
+    # recall vs exact must match IVF-flat at the same nprobe (same cells
+    # probed, exact rerank over a generous refine recovers the same set)
+    exact = ann.cosine_topk(df, queries, k=10).toPandas()
+    truth = exact.groupby("query_id")["neighbor_id"].apply(set)
+    byq = got.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(truth[q] & byq.get(q, set())) for q in truth.index)
+    recall = hits / (10 * len(truth))
+    assert recall >= 0.8, recall
+
+    # pruning contract: with nprobe=1 each query's candidates all come
+    # from ONE cell — neighbor cells of returned rows == the probed cell
+    got1 = ann.ivfpq_topk(
+        idx, queries, cents, books, k=5, nprobe=1, refine=20,
+        full_vectors=df, encode="residual",
+    ).toPandas()
+    cells = ipdf.set_index("vec_id")["cell"]
+    C = np.asarray(cents, dtype=np.float64)
+    qrows = queries.toPandas()
+    for _, qr in qrows.iterrows():
+        qv = np.asarray(qr["embedding"], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        probed = int(((C**2).sum(1) - 2 * (C @ qv)).argmin())
+        neigh = got1[got1.query_id == qr["vec_id"]]["neighbor_id"]
+        assert (cells.loc[neigh] == probed).all()
+
+    # raw encoding with the same budget must not beat residual encoding
+    idx_raw = ann.ivfpq_index(df, cents, books, encode="raw")
+    got_raw = ann.ivfpq_topk(
+        idx_raw, queries, cents, books, k=10, nprobe=4, refine=60,
+        full_vectors=df, encode="raw",
+    ).toPandas()
+    byq_r = got_raw.groupby("query_id")["neighbor_id"].apply(set)
+    hits_r = sum(len(truth[q] & byq_r.get(q, set())) for q in truth.index)
+    assert hits_r <= hits + 5  # residual ≥ raw (small slack for rerank ties)

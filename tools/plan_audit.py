@@ -78,8 +78,8 @@ def main():
 
     # 2. rollup: partial (map-side) aggregation before the exchange
     audit(
-        "rollup_15min (A+)",
-        qs["rollup_15min"](spark, SF_DIR),
+        "rollup_tiers (A+)",
+        qs["rollup_tiers"](spark, SF_DIR),
         must=[r"partial_count", r"HashAggregate"],
         note="Catalyst partial+final hash aggregation; the exchange carries "
         "one row per (series, bucket), not per point.",
@@ -136,8 +136,8 @@ def main():
 
     # 6. dedup: one shuffle on the digest, no join at all
     audit(
-        "dedup_exact",
-        qs["dedup_exact"](spark, SF_DIR),
+        "dedup_groups",
+        qs["dedup_groups"](spark, SF_DIR),
         must=[r"HashAggregate"],
         must_not=[r"Join"],
     )
@@ -202,6 +202,30 @@ def main():
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         note="ADC scoring emits only per-partition top-refine rows; the "
         "query map and query vectors are broadcast; rerank joins on ids.",
+    )
+
+    # 9c. IVFADC: the composed scale path — the cell filter must PRUNE the
+    # code scan (no full-corpus ADC), probes broadcast, no cartesian
+    plan9c = fmt(qs["ivfpq_topk"](spark, SF_DIR))
+    pruned9c = (
+        re.search(r"cell#\d+ IN \(", plan9c)
+        or re.search(r"cell.*INSET", plan9c)
+    )
+    bad9c = re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan9c)
+    status9c = (
+        "OK"
+        if pruned9c and not bad9c and "BroadcastHashJoin" in plan9c
+        else "FAIL: missing cell-membership filter / cartesian present"
+    )
+    if status9c != "OK":
+        failures.append("ivfpq_topk pruning")
+    print(f"{status9c:4.60}  ivfpq_topk (IVFADC)", file=sys.stderr)
+    report.append(f"## ivfpq_topk (IVFADC) — {status9c}")
+    report.append(
+        "\nProbed-cell membership filters the code table BEFORE scoring "
+        "(partition pruning when the index is written partitioned by cell); "
+        "probe pairs broadcast; ADC kernel emits per-partition top-refine "
+        "only; exact rerank joins ids. pq_topk's full-corpus scan is gone.\n"
     )
 
     # 10. arima_residuals_sql at DEFAULT settings: no persist of the fact
