@@ -1093,6 +1093,56 @@ def q_streaming_rollup(spark, sf_dir):
     )
 
 
+def q_retention_counts(spark, sf_dir):
+    """Retention-window gate (r5, north-rule 'retention tiers' end to end):
+    1h rollup cells written to a SnapshotTable partitioned by epoch-DAY in
+    two dynamic-partition commits, the OLDER half of the days aged out via
+    drop_partitions (metadata-only), snapshots expired (keep_last=1 —
+    physically deletes the aged parquet), then the store read back. The
+    oracle is the same 1h rollup filtered to the retained days, so a
+    missed drop, a botched expiry, or an over-eager delete all
+    hash-mismatch. Cutoff = median distinct day (computed identically in
+    SQL). Fresh temp store per invocation, fully deterministic."""
+    import os
+    import tempfile
+
+    from pyhydroqc_spark.operators import rollup
+    from pyhydroqc_spark.tables import SnapshotTable
+
+    cells = rollup.rollup_points(
+        _events_long(spark, sf_dir), 3600, value_col="value"
+    ).withColumn(
+        "day",
+        F.floor(F.unix_timestamp("bucket_start") / 86400).cast("long").cast("string"),
+    )
+    days = sorted(
+        int(r["day"]) for r in cells.select("day").distinct().collect()
+    )
+    cutoff = days[len(days) // 2]  # retain the newer half (median included)
+
+    tmp = tempfile.mkdtemp(prefix="retention_gate_")
+    tbl = SnapshotTable(os.path.join(tmp, "rollup_3600s"))
+    # two commits (old days, then new days) so expiry has history to drop
+    tbl.overwrite_partitions(cells.where(F.col("day").cast("long") < cutoff), "day")
+    tbl.overwrite_partitions(cells.where(F.col("day").cast("long") >= cutoff), "day")
+    n_before = len(tbl.files())
+    tbl.drop_partitions(lambda p: int(p) >= cutoff)
+    removed = tbl.expire_snapshots(keep_last=1)
+    if not removed or len(tbl.files()) >= n_before:
+        raise RuntimeError("retention gate: expiry removed no aged files")
+
+    out = SnapshotTable(os.path.join(tmp, "rollup_3600s")).read(spark)
+    return out.select(
+        "doc_id",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
 def q_dup_keep_list(spark, sf_dir):
     """The actionable full keep-list: dup_components with ``corpus=`` folds
     singleton docs (no near-dup pair) back in as their own keep=true
@@ -1158,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup": q_streaming_rollup,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "retention_counts": q_retention_counts,
     }
 
 
@@ -2260,6 +2311,29 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
   JOIN embeddings ne ON ne.vec_id = r.nid
   JOIN embeddings qe ON qe.vec_id = r.qid
 ) WHERE rank <= 10
+"""
+
+    sql["retention_counts"] = BASE_SQL + """
+, cells AS (
+  SELECT doc_id,
+         CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         COUNT(value) AS cnt,
+         ROUND(SUM(value), 6) AS sum_val,
+         ROUND(AVG(value), 6) AS avg_val,
+         ROUND(MIN(value), 6) AS min_val,
+         ROUND(MAX(value), 6) AS max_val
+  FROM base GROUP BY doc_id, bucket_s
+), days AS (
+  SELECT DISTINCT CAST(FLOOR(bucket_s / 86400.0) AS BIGINT) AS day FROM cells
+), cut AS (
+  SELECT day AS cutoff FROM (
+    SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn, COUNT(*) OVER () AS n
+    FROM days
+  ) WHERE rn = CAST(FLOOR(n / 2) AS BIGINT) + 1
+)
+SELECT doc_id, bucket_s, cnt, sum_val, avg_val, min_val, max_val
+FROM cells, cut
+WHERE CAST(FLOOR(bucket_s / 86400.0) AS BIGINT) >= cutoff
 """
 
     # streaming continuous-aggregate contract: the incrementally-merged
