@@ -95,25 +95,6 @@ def md5_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     ]
 
 
-def bucket_ids(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket key: bit j = sign(v·h_j). Pure column expression.
-
-    Kept as the `zip_with`/`aggregate` HOF dot on purpose: unrolling the
-    literal planes into element_at·weight chains (n_planes × dim terms)
-    was measured 6-10× SLOWER — the giant expression tree blows past the
-    codegen method-size limits and falls back to interpreted eval of
-    thousands of nodes per row, while the HOF loop stays one compact
-    interpreted loop."""
-    bits = [
-        F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) >= 0, 1).otherwise(0)
-        for h in planes
-    ]
-    key = F.lit(0).cast("long")
-    for j, b in enumerate(bits):
-        key = key.bitwiseOR(F.shiftleft(b.cast("long"), j))
-    return key
-
-
 def ivf_centroids(dim: int, nlist: int) -> list[list[float]]:
     """Hash-derived coarse-quantizer centroids, uniform in [-1, 1):
     component (c, d) = md5_60(f"ivf|{c}|{d}") / 2^59 - 1 — deterministic and
@@ -256,52 +237,71 @@ def _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source):
 def _with_buckets(d: DataFrame, tables, id_col: str, vec_col: str, idc: str) -> DataFrame:
     """(idc, table, bucket) — one row per (vector, hash table), ids only.
 
-    Physical shape (r5): posexplode the vector COMPONENTS and compute all
-    n_tables × n_planes plane dots as conditional SUM aggregates in ONE
-    hash aggregation — ``Σ_d x_d · element_at(plane_literal, d+1)`` stays
-    inside whole-stage codegen (the literal plane arrays constant-fold).
-    This is the same explode+aggregate treatment that took simhash
-    18.4→3.9s and minhash 15.5→8.3s; the previous per-(table, plane) HOF
-    ``aggregate`` dots were interpreted and dominated lsh_topk. A doc's
-    components stay in one partition, so map-side partial aggregation
-    sums them in d-ascending order — bit-identical to the sequential HOF
-    fold (and to a SQL oracle's list_dot_product). The groupBy shuffles
-    n_tables × n_planes doubles per VECTOR, not per component.
+    Physical shape (r5): an Arrow-batched ``mapInPandas`` kernel computes
+    every (table, plane) dot with numpy over the whole batch — vectorized
+    over ROWS, sequential over the dimension axis, so each per-row sum
+    adds components in d-ascending order and stays BIT-IDENTICAL to a
+    sequential SQL ``list_dot_product`` (the oracle) and to the previous
+    HOF fold. Two earlier formulations both lost to this on the bench:
+    per-(table, plane) HOF ``aggregate`` dots are interpreted per row, and
+    the explode + literal-``element_at`` conditional-SUM codegen fold
+    (the simhash treatment) embeds n_tables × n_planes × dim literals in
+    the plan — Catalyst analysis + codegen COMPILE of that plan cost ~5s
+    per invocation, dwarfing execution. The kernel keeps the plan tiny
+    (planes ride the closure, one Arrow exchange) and the arithmetic is
+    C-speed; at 10^9 rows it is also the FLOP-optimal shape.
 
     Vectors deliberately do NOT ride along — the candidate join and pair
     dedup work on ids, and callers re-join vectors only for the final
     exact rerank (at 10^9 rows the difference is shipping 8 B/candidate
     instead of 8+4·dim B)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     n_tables, n_planes = len(tables), len(tables[0])
-    exploded = d.select(
-        F.col(id_col).alias(idc),
-        F.posexplode_outer(F.col(vec_col)).alias("__d", "__x"),
+    dim = len(tables[0][0])
+    # H[t, p, d] — one dense coefficient block in the closure
+    H = np.asarray(tables, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField(idc, d.schema[id_col].dataType, True),
+            StructField("table", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+        ]
     )
-    aggs = []
-    for t, planes in enumerate(tables):
-        for p, h in enumerate(planes):
-            arr = F.array(*[F.lit(float(v)) for v in h])
-            aggs.append(
-                F.sum(
-                    F.col("__x").cast("double")
-                    * F.element_at(arr, F.col("__d") + 1)
-                ).alias(f"__dot_{t}_{p}")
+
+    def run(batches):
+        tbl_ix = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].values
+            vecs = pdf[vec_col]
+            # empty/NULL vectors: dot = 0.0 → every sign bit set (the HOF
+            # fold's aggregate-over-empty semantics) — handled naturally
+            # by the zero init below
+            X = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, v in enumerate(vecs):
+                if v is not None and len(v):
+                    X[i, : len(v)] = np.asarray(v, dtype=np.float64)
+            dots = np.zeros((len(pdf), n_tables, n_planes))
+            # sequential over d: per-row addition order identical to a
+            # scalar left-to-right sum (bit-parity with the SQL oracle)
+            for dd in range(dim):
+                dots += X[:, dd, None, None] * H[None, :, :, dd]
+            bits = (dots >= 0.0).astype(np.int64)
+            buckets = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    idc: np.repeat(ids, n_tables),
+                    "table": np.tile(tbl_ix, len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-    dots = exploded.groupBy(idc).agg(*aggs)
-    # empty/NULL vectors: SUM over no rows is NULL; the old HOF fold gave
-    # dot = 0.0 → every sign bit set — keep that via coalesce
-    rows = []
-    for t in range(n_tables):
-        key = F.lit(0).cast("long")
-        for p in range(n_planes):
-            bit = F.when(
-                F.coalesce(F.col(f"__dot_{t}_{p}"), F.lit(0.0)) >= 0, 1
-            ).otherwise(0)
-            key = key.bitwiseOR(F.shiftleft(bit.cast("long"), p))
-        rows.append(F.struct(F.lit(t).alias("table"), key.alias("bucket")))
-    return dots.select(
-        idc, F.explode(F.array(*rows)).alias("__tb")
-    ).select(idc, F.col("__tb.table").alias("table"), F.col("__tb.bucket").alias("bucket"))
+
+    return d.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(run, schema=schema)
 
 
 def cosine_dup_pairs(
