@@ -38,8 +38,64 @@ from .rules import interpolate, persistence, range_check
 from .threshold import detect_threshold_anomalies, dynamic_threshold
 
 
+def _mlp_predict(X: np.ndarray, t: np.ndarray, seed: int = 7,
+                 hidden: int = 16, epochs: int = 300, lr: float = 0.01,
+                 l2: float = 1e-4) -> np.ndarray:
+    """Deterministic one-hidden-layer tanh MLP (full-batch Adam, pinned
+    seed/epochs/lr) — the nonlinear head option standing in for the
+    reference's LSTM (`modeling_utilities.py:125-351`): same train-on-
+    windows / predict-one-step surface, learnable nonlinearity, exactly
+    reproducible. Inputs and target are standardized on the training
+    region (the reference scales with MinMaxScaler before its LSTM,
+    `modeling_utilities.py:154-160`); returns predictions on the ORIGINAL
+    scale."""
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd = np.where(sd > 1e-12, sd, 1.0)
+    Xs = (X - mu) / sd
+    tmu, tsd = t.mean(), t.std()
+    tsd = tsd if tsd > 1e-12 else 1.0
+    ts_ = (t - tmu) / tsd
+
+    rng = np.random.default_rng(seed)
+    d = Xs.shape[1]
+    W1 = rng.normal(0, 1.0 / np.sqrt(d), (d, hidden))
+    b1 = np.zeros(hidden)
+    W2 = rng.normal(0, 1.0 / np.sqrt(hidden), hidden)
+    b2 = 0.0
+    mom = [np.zeros_like(W1), np.zeros_like(b1), np.zeros_like(W2), 0.0]
+    vel = [np.zeros_like(W1), np.zeros_like(b1), np.zeros_like(W2), 0.0]
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    n = len(ts_)
+    for ep in range(1, epochs + 1):
+        H = np.tanh(Xs @ W1 + b1)
+        out = H @ W2 + b2
+        err = out - ts_
+        # grads (MSE/2 + L2)
+        gW2 = H.T @ err / n + l2 * W2
+        gb2 = err.mean()
+        dH = np.outer(err, W2) * (1.0 - H * H)
+        gW1 = Xs.T @ dH / n + l2 * W1
+        gb1 = dH.mean(axis=0)
+        for i, g in enumerate((gW1, gb1, gW2, gb2)):
+            mom[i] = beta1 * mom[i] + (1 - beta1) * g
+            vel[i] = beta2 * vel[i] + (1 - beta2) * (g * g if i == 3 else g**2)
+            mhat = mom[i] / (1 - beta1**ep)
+            vhat = vel[i] / (1 - beta2**ep)
+            upd = lr * mhat / (np.sqrt(vhat) + eps)
+            if i == 0:
+                W1 -= upd
+            elif i == 1:
+                b1 -= upd
+            elif i == 2:
+                W2 -= upd
+            else:
+                b2 -= upd
+    H = np.tanh(Xs @ W1 + b1)
+    return (H @ W2 + b2) * tsd + tmu
+
+
 def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
-                 intercept: bool) -> np.ndarray:
+                 intercept: bool, head: str = "ridge", seed: int = 7) -> np.ndarray:
     """One series → one-step predictions (NaN on the undefined edges)."""
     n = len(x)
     ts = time_steps
@@ -54,9 +110,14 @@ def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
     if mode == "bidir":
         cols += [x[lo + j + 1 : hi + j + 1] for j in range(ts)]  # x_{t+1}..x_{t+ts}
     X = np.column_stack(cols)
+    t = x[lo:hi]
+    if head == "mlp":
+        pred[lo:hi] = _mlp_predict(X, t, seed=seed)
+        return pred
+    if head != "ridge":
+        raise ValueError(f"head must be 'ridge' or 'mlp', got {head!r}")
     if intercept:
         X = np.column_stack([np.ones(len(X)), X])
-    t = x[lo:hi]
     XtX = X.T @ X + ridge * np.eye(X.shape[1])
     try:
         beta = np.linalg.lstsq(XtX, X.T @ t, rcond=None)[0]
@@ -73,6 +134,8 @@ def windowed_regression_residuals(
     mode: str = "vanilla",
     ridge: float = 1e-3,
     intercept: bool = True,
+    head: str = "ridge",
+    seed: int = 7,
     key: str = SERIES_KEY,
     order_col: str = ORDER_COL,
     resid_col: str = "residual",
@@ -102,7 +165,7 @@ def windowed_regression_residuals(
                 valid, x,
                 np.interp(np.arange(len(x)), np.flatnonzero(valid), x[valid]),
             )
-        pred = _fit_predict(x, time_steps, mode, ridge, intercept)
+        pred = _fit_predict(x, time_steps, mode, ridge, intercept, head, seed)
         pdf[pred_col] = pred
         pdf[resid_col] = pdf[value_col].to_numpy(dtype=float) - pred
         return pdf
@@ -117,6 +180,7 @@ def regression_detect_univar(
     mode: str = "vanilla",
     rules: bool = True,
     value_col: str = "value",
+    head: str = "ridge",
     key: str = SERIES_KEY,
     order_col: str = ORDER_COL,
 ) -> DataFrame:
@@ -143,7 +207,8 @@ def regression_detect_univar(
             "observed", F.col(value_col)
         )
     out = windowed_regression_residuals(
-        out, "observed", time_steps=time_steps, mode=mode, key=key, order_col=order_col
+        out, "observed", time_steps=time_steps, mode=mode, head=head,
+        key=key, order_col=order_col,
     )
     out = dynamic_threshold(
         out,
