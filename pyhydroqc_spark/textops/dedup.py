@@ -613,9 +613,57 @@ def simhash_candidates(
         )
         .where(F.size("ms") > 1)
     )
-    hot_pairs = _enumerate_bucket_pairs(hot_grouped)
+    hot_pairs = _enumerate_bucket_pairs(hot_grouped.where(F.size("ms") <= bucket_cap))
 
-    pairs = small_pairs.union(hot_pairs).distinct()
+    # SECOND split level (r5): a sub-bucket still over the cap agrees on
+    # 16 + 12 = 28 bits, so a qualifying pair's ≤3 differing bits lie in
+    # the remaining 36 — split THOSE into four 9-bit blocks (pigeonhole
+    # again leaves one block equal). This bounds enumeration at corpus
+    # sizes where even the 12-bit sub-buckets run hot (~10M+ docs with
+    # large boilerplate clusters). Identical-signature clusters remain
+    # output-bound at every level — past that, minhash banding (tunable
+    # band count) is the documented routing escape.
+    hot2 = (
+        hot_grouped.where(F.size("ms") > bucket_cap)
+        .select("q", "qv", "sq", "sv", F.explode("ms").alias("m"))
+        .select(
+            "q", "qv", "sq", "sv",
+            F.col("m.id").alias("id"),
+            F.col("m.simhash").alias("simhash"),
+        )
+    )
+    # r36 = the 48 non-quarter bits with the sq-th 12-bit block removed
+    # (shift amounts must be literals under ANSI — CASE over the 4 values)
+    cases = []
+    for s in range(4):
+        low = r48.bitwiseAND(F.lit((1 << (12 * s)) - 1))
+        high = F.shiftleft(F.shiftright(r48, 12 * (s + 1)), 12 * s)
+        cases.append((s, low.bitwiseOR(high)))
+    r36 = F.when(F.col("sq") == cases[0][0], cases[0][1])
+    for s, expr in cases[1:]:
+        r36 = r36.when(F.col("sq") == s, expr)
+    sub2 = F.array(
+        *[
+            F.shiftright(r36, 9 * s2).bitwiseAND(F.lit(0x1FF))
+            for s2 in range(4)
+        ]
+    )
+    sub2_banded = hot2.select(
+        "q", "qv", "sq", "sv", "id", "simhash",
+        F.posexplode(sub2).alias("ssq", "ssv"),
+    ).repartition(n, "q", "qv", "sq", "sv", "ssq", "ssv")
+    hot2_grouped = (
+        sub2_banded.groupBy("q", "qv", "sq", "sv", "ssq", "ssv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    hot2_pairs = _enumerate_bucket_pairs(hot2_grouped)
+
+    pairs = small_pairs.union(hot_pairs).union(hot2_pairs).distinct()
     return (
         pairs.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)

@@ -127,16 +127,41 @@ if want_stats:
            .bitwiseOR(F.shiftleft(F.element_at(rem, 2), 16))
            .bitwiseOR(F.shiftleft(F.element_at(rem, 3), 32)))
     subs = F.array(*[F.shiftright(r48, 12 * s).bitwiseAND(F.lit(0xFFF)) for s in range(4)])
-    l2 = (hot_members.select("q", "qv", F.posexplode(subs).alias("sq", "sv"))
-          .groupBy("q", "qv", "sq", "sv").count())
+    l2_banded = hot_members.select(
+        "q", "qv", "simhash", F.posexplode(subs).alias("sq", "sv"))
+    l2 = l2_banded.groupBy("q", "qv", "sq", "sv").count()
     l2_stats = l2.agg(
+        F.max("count").alias("mx"),
+        F.sum((F.col("count") > cap).cast("long")).alias("hot"),
+        F.sum(F.when(F.col("count") <= cap, F.col("count") * (F.col("count") - 1) / 2)
+              .otherwise(0)).alias("small_work"),
+    ).first()
+    # level 3 (r5): members of still-hot 12-bit sub-buckets re-banded on
+    # four 9-bit blocks of the remaining 36 bits
+    l2_hot_members = l2_banded.join(
+        l2.where(F.col("count") > cap).select("q", "qv", "sq", "sv"),
+        ["q", "qv", "sq", "sv"])
+    cases = []
+    for s_ in range(4):
+        low = r48.bitwiseAND(F.lit((1 << (12 * s_)) - 1))
+        high = F.shiftleft(F.shiftright(r48, 12 * (s_ + 1)), 12 * s_)
+        cases.append((s_, low.bitwiseOR(high)))
+    r36 = F.when(F.col("sq") == cases[0][0], cases[0][1])
+    for s_, expr in cases[1:]:
+        r36 = r36.when(F.col("sq") == s_, expr)
+    sub2 = F.array(*[F.shiftright(r36, 9 * s2).bitwiseAND(F.lit(0x1FF)) for s2 in range(4)])
+    l3 = (l2_hot_members.select("q", "qv", "sq", "sv", F.posexplode(sub2).alias("ssq", "ssv"))
+          .groupBy("q", "qv", "sq", "sv", "ssq", "ssv").count())
+    l3_stats = l3.agg(
         F.max("count").alias("mx"),
         F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("work"),
     ).first()
     print(json.dumps({
         "l1_max": int(l1_stats["mx"]), "l1_hot_buckets": int(l1_stats["hot"]),
         "l1_small_work": int(l1_stats["small_work"]),
-        "l2_max": int(l2_stats["mx"] or 0), "l2_work": int(l2_stats["work"] or 0),
+        "l2_max": int(l2_stats["mx"] or 0), "l2_hot_buckets": int(l2_stats["hot"] or 0),
+        "l2_small_work": int(l2_stats["small_work"] or 0),
+        "l3_max": int(l3_stats["mx"] or 0), "l3_work": int(l3_stats["work"] or 0),
     }), flush=True)
     sigp.unpersist()
 
@@ -180,14 +205,20 @@ makes fixed 16-bit quarter buckets hot. bucket_cap={CAP}.
 | 1 | buckets over cap (split, not enumerated) | {stats['l1_hot_buckets']:,} |
 | 1 | pair-enumeration work in small buckets | {stats['l1_small_work']:,} |
 | 2 | max sub-bucket occupancy after 12-bit split | {stats['l2_max']:,} |
-| 2 | pair-enumeration work in split buckets | {stats['l2_work']:,} |
+| 2 | sub-buckets still over cap (split again, r5) | {stats['l2_hot_buckets']:,} |
+| 2 | pair-enumeration work in small sub-buckets | {stats['l2_small_work']:,} |
+| 3 | max bucket occupancy after 9-bit second split | {stats['l3_max']:,} |
+| 3 | pair-enumeration work at the final level | {stats['l3_work']:,} |
 
-Without the split, each hot bucket of size m would enumerate m(m-1)/2
+Without any split, each hot bucket of size m would enumerate m(m-1)/2
 pairs (max bucket {stats['l1_max']:,} → {stats['l1_max'] * (stats['l1_max'] - 1) // 2:,} struct pairs for that one
-bucket); after the 4×12-bit multi-index split the largest enumerated
-bucket is {stats['l2_max']:,} — enumeration work is bounded by the cap and the true
-near-dup cluster sizes (identical-signature members stay together because
-every pair of them IS a result: output-bound, not overhead).
+bucket); the 4×12-bit split bounds level-2 buckets at {stats['l2_max']:,}, and the r5
+second split (four 9-bit blocks of the remaining 36 bits — pigeonhole
+still leaves one block equal for hamming≤3) bounds the largest
+enumerated bucket at {stats['l3_max']:,}. Enumeration work is bounded by the cap and
+the true near-dup cluster sizes (identical-signature members stay
+together because every pair of them IS a result: output-bound, not
+overhead; past that, minhash banding is the documented routing escape).
 
 | cores | simhash_pairs wall (s) | pairs |
 |---|---|---|
