@@ -762,14 +762,17 @@ def ivfpq_topk(
         base_lut = {qi: lut_for(Q[qi]) for qi in range(len(Q))}
         luts = {(qi, c): base_lut[qi] for qi, c in probe_pairs}
 
-    spark = index_df.sparkSession
-    probes = spark.createDataFrame(probe_pairs, "query_ix long, cell int")
-    # cell membership filter prunes the scan; the probe join fans each
-    # candidate row out to only the queries that probed its cell
+    # cell-membership filter prunes the scan (partition pruning when the
+    # index is written partitioned by cell); NO probe join — each index
+    # row is read ONCE and the kernel scores it against exactly the
+    # queries that probed its cell (per-cell batch vectorization), so the
+    # candidate row set is never duplicated per query the way a
+    # (query, cell) fanout join would
     probed_cells = sorted({c for _, c in probe_pairs})
-    cand_rows = index_df.where(F.col("cell").isin(probed_cells)).join(
-        F.broadcast(probes), "cell"
-    )
+    probes_by_cell: dict = {}
+    for qi, c in probe_pairs:
+        probes_by_cell.setdefault(c, []).append(qi)
+    cand_rows = index_df.where(F.col("cell").isin(probed_cells))
 
     out_schema = StructType(
         [
@@ -785,29 +788,53 @@ def ivfpq_topk(
             if not len(pdf):
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            qix = pdf["query_ix"].to_numpy(dtype=np.int64)
             cell = pdf["cell"].to_numpy(dtype=np.int64)
-            ids = pdf["neighbor_id"].values
-            dist = np.empty(len(pdf), dtype=np.float64)
-            # ≤ nq×nprobe distinct (query, cell) LUTs per batch
-            for (qi, c), lut in luts.items():
-                mask = (qix == qi) & (cell == c)
-                if mask.any():
-                    dist[mask] = lut[jix[None, :], codes[mask]].sum(axis=1)
-            out = pd.DataFrame(
-                {"query_ix": qix, "neighbor_id": ids, "adc": dist}
-            )
-            out = out[out["neighbor_id"] != np.array([qids[q] for q in qix])]
-            # partition-local partial top-k caps the shuffle
-            out = (
-                out.sort_values(["query_ix", "adc", "neighbor_id"])
-                .groupby("query_ix", sort=False)
-                .head(refine)
-            )
-            yield out
+            ids = pdf[id_col].values
+            # accumulate raw numpy chunks; ONE frame per batch (building a
+            # pandas frame per (cell, query) pair dominated the kernel)
+            q_chunks: dict = {}
+            for c in np.unique(cell):
+                qlist = probes_by_cell.get(int(c))
+                if not qlist:
+                    continue
+                sel = cell == c
+                codes_c = codes[sel]
+                ids_c = ids[sel]
+                # (len(qlist), m, k) LUT stack → dist (len(qlist), n_c)
+                lut3 = np.stack([luts[(qi, int(c))] for qi in qlist])
+                dist = lut3[:, jix[None, :], codes_c].sum(axis=2)
+                # keep only each query's best `refine` of THIS cell — the
+                # per-batch merge below re-refines across cells
+                top = min(refine, dist.shape[1])
+                part = np.argpartition(dist, top - 1, axis=1)[:, :top]
+                for row, qi in enumerate(qlist):
+                    keep = part[row]
+                    q_chunks.setdefault(qi, []).append(
+                        (ids_c[keep], dist[row][keep])
+                    )
+            qix_out, ids_out, adc_out = [], [], []
+            for qi, chunks in q_chunks.items():
+                ids_q = np.concatenate([c[0] for c in chunks])
+                adc_q = np.concatenate([c[1] for c in chunks])
+                mask = ids_q != qids[qi]  # drop self-match
+                ids_q, adc_q = ids_q[mask], adc_q[mask]
+                if len(adc_q) > refine:  # partition-local partial top-k
+                    keep = np.argpartition(adc_q, refine - 1)[:refine]
+                    ids_q, adc_q = ids_q[keep], adc_q[keep]
+                qix_out.append(np.full(len(ids_q), qi, dtype=np.int64))
+                ids_out.append(ids_q)
+                adc_out.append(adc_q)
+            if qix_out:
+                yield pd.DataFrame(
+                    {
+                        "query_ix": np.concatenate(qix_out),
+                        "neighbor_id": np.concatenate(ids_out),
+                        "adc": np.concatenate(adc_out),
+                    }
+                )
 
     cand = cand_rows.select(
-        F.col("query_ix"), F.col(id_col).alias("neighbor_id"), "cell", "codes"
+        F.col(id_col), "cell", "codes"
     ).mapInPandas(score, schema=out_schema)
     return _finish_adc_topk(
         cand, index_df, queries, qids, Qraw, k, refine, full_vectors, id_col, vec_col

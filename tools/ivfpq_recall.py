@@ -1,12 +1,13 @@
-"""IVFADC recall/wall at 200k embeddings (same corpus as ivf_recall.py).
+"""IVFADC recall/wall at 1M embeddings — the r4 verdict's composition bar.
 
-The r4 verdict's acceptance bar for the IVF×PQ composition: at ≥200k
-vectors, recall@10 ≥ the IVF-flat row's at the same nprobe, wall time
-below pq_topk's full-corpus ADC scan. Measures ivfpq (trained cells +
-trained codebooks, residual encoding, exact rerank) against exact cosine
-ground truth, alongside like-for-like ivf_topk and pq_topk runs on the
-SAME session, and reports the candidate-touch fraction (nprobe/nlist of
-the corpus vs all of it for pq_topk). Appends to BENCH/TEXTOPS.md.
+Corpus: clustered like ivf_recall.py but with cluster COUNT scaling with
+corpus size (N/500 topics of ~500 members — corpus growth adds topics;
+topical cluster size does not grow with the crawl). Measures recall@10
+and wall of ivfpq_topk (trained cells + codebooks, residual encoding,
+exact rerank) vs like-for-like ivf_topk (flat, same cells/nprobe) and
+pq_topk (full-corpus ADC, same refine) on the same session, plus the
+PER-QUERY fraction of codes scored (nprobe/nlist of the corpus — the
+scale lever). Appends to BENCH/TEXTOPS.md.
 """
 
 from __future__ import annotations
@@ -18,12 +19,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-N = int(os.environ.get("IVF_VECS", "200000"))
+N = int(os.environ.get("IVF_VECS", "1000000"))
 DIM = int(os.environ.get("IVF_DIM", "32"))
-NQ = int(os.environ.get("IVF_QUERIES", "50"))
+NQ = int(os.environ.get("IVF_QUERIES", "20"))
 M = int(os.environ.get("PQ_M", "8"))
 NLIST = int(os.environ.get("IVF_NLIST", "64"))
 NPROBE = int(os.environ.get("IVF_NPROBE", "8"))
+REFINES = [int(x) for x in os.environ.get("IVFPQ_REFINES", "200,800").split(",")]
 
 
 def main():
@@ -36,13 +38,26 @@ def main():
 
     spark = get_spark("ivfpq-recall", cores=32, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    vec_dir = os.path.join(REPO, ".bench", f"vecs_{N}_{DIM}")
+    vec_dir = os.path.join(REPO, ".bench", f"vecs_topics_{N}_{DIM}")
     if not os.path.exists(vec_dir):
-        raise SystemExit("run tools/ivf_recall.py first (builds the corpus)")
+        rng = np.random.default_rng(23)
+        n_clusters = max(256, N // 500)
+        means = rng.normal(0, 1.0, (n_clusters, DIM))
+        assign = rng.integers(0, n_clusters, N)
+        X = (means[assign] + rng.normal(0, 0.25, (N, DIM))).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(N, dtype=np.int64), "embedding": list(map(list, X))}
+        )
+        spark.createDataFrame(pdf, "vec_id long, embedding array<float>").repartition(
+            64
+        ).write.mode("overwrite").parquet(vec_dir)
+
     df = spark.read.parquet(vec_dir)
     queries = df.where(F.pmod("vec_id", F.lit(N // NQ)) == 0)
 
+    t0 = time.time()
     exact = ann.cosine_topk(df, queries, k=10).toPandas()
+    t_exact = time.time() - t0
     truth = exact.groupby("query_id")["neighbor_id"].apply(set)
 
     def recall(got):
@@ -50,21 +65,17 @@ def main():
         hits = sum(len(truth[q] & byq.get(q, set())) for q in truth.index)
         return hits / (10 * len(truth))
 
-    # train in NORMALIZED space (cells partition the unit sphere; residual
-    # encoding needs centroids in the encode space)
+    # train in normalized space (cells partition the unit sphere; residual
+    # encoding needs centroids in the encode space); bounded samples only
+    qn_norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
     norm_df = df.withColumn(
-        "embedding",
-        F.transform(
-            "embedding",
-            lambda x: x
-            / F.sqrt(
-                F.aggregate(
-                    F.transform("embedding", lambda y: y * y),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-            ),
-        ),
+        "embedding", F.transform("embedding", lambda x: x.cast("double") / qn_norm)
     )
     t0 = time.time()
     cents = ann.train_ivf_centroids(norm_df, nlist=NLIST, sample_n=10_000, seed=9)
@@ -75,15 +86,29 @@ def main():
     idx.count()
     t_enc = time.time() - t0
 
-    t0 = time.time()
-    got = ann.ivfpq_topk(
-        idx, queries, cents, books, k=10, nprobe=NPROBE, refine=200,
-        full_vectors=df, encode="residual",
-    ).toPandas()
-    t_ivfpq = time.time() - t0
-    r_ivfpq = recall(got)
+    codes = ann.pq_encode(df, books).persist()
+    codes.count()
 
-    # comparison points on the same session
+    rows = []
+    for refine in REFINES:
+        t0 = time.time()
+        got = ann.ivfpq_topk(
+            idx, queries, cents, books, k=10, nprobe=NPROBE, refine=refine,
+            full_vectors=df, encode="residual",
+        ).toPandas()
+        t_ivfpq = time.time() - t0
+        t0 = time.time()
+        got_pq = ann.pq_topk(
+            codes, queries, books, k=10, refine=refine, full_vectors=df
+        ).toPandas()
+        t_pq = time.time() - t0
+        rows.append((refine, recall(got), t_ivfpq, recall(got_pq), t_pq))
+        print(
+            f"refine={refine}: ivfpq {rows[-1][1]:.3f}/{t_ivfpq:.1f}s  "
+            f"pq {rows[-1][3]:.3f}/{t_pq:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+
     t0 = time.time()
     got_flat = ann.ivf_topk(
         df, queries, k=10, nlist=NLIST, nprobe=NPROBE, dim=DIM, centroids=cents
@@ -91,62 +116,50 @@ def main():
     t_flat = time.time() - t0
     r_flat = recall(got_flat)
 
-    codes = ann.pq_encode(df, books).persist()
-    codes.count()
-    t0 = time.time()
-    got_pq = ann.pq_topk(
-        codes, queries, books, k=10, refine=200, full_vectors=df
-    ).toPandas()
-    t_pq = time.time() - t0
-    r_pq = recall(got_pq)
+    # PER-QUERY scored fraction: mean over queries of (codes in its
+    # nprobe probed cells) / N
+    touched = idx.groupBy("cell").count().toPandas().set_index("cell")["count"]
+    C = np.asarray(cents)
+    Q = np.array(
+        [list(map(float, r["embedding"])) for r in queries.select("embedding").collect()]
+    )
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    d2 = (C**2).sum(1)[None, :] - 2.0 * (Q @ C.T)
+    per_q = [
+        touched.reindex(row).fillna(0).sum() / touched.sum()
+        for row in np.argsort(d2, axis=1)[:, :NPROBE]
+    ]
+    frac = float(np.mean(per_q))
     codes.unpersist()
-
-    # candidate-touch fraction: codes actually scored per query set
-    touched = (
-        idx.groupBy("cell").count().toPandas().set_index("cell")["count"]
-    )
-    import numpy as _np
-
-    C = _np.asarray(cents)
-    qn = _np.array(
-        [r["embedding"] for r in queries.select("embedding").collect()],
-        dtype=_np.float64,
-    )
-    qn = qn / _np.linalg.norm(qn, axis=1, keepdims=True)
-    d2 = (C**2).sum(1)[None, :] - 2.0 * (qn @ C.T)
-    probed = set()
-    for row in _np.argsort(d2, axis=1)[:, :NPROBE]:
-        probed.update(int(c) for c in row)
-    frac = touched.reindex(sorted(probed)).fillna(0).sum() / touched.sum()
     idx.unpersist()
 
+    tbl = "\n".join(
+        f"| {r} | {ri:.3f} | {ti:.1f} | {rp:.3f} | {tp:.1f} |"
+        for r, ri, ti, rp, tp in rows
+    )
     section = f"""
 ## IVFADC at {N:,} embeddings — cell-pruned ADC (r5)
 
-Same corpus/queries as the IVF and PQ rows (trained nlist={NLIST} cells
-in normalized space, trained m={M}×256 codebooks, RESIDUAL encoding,
-nprobe={NPROBE}, refine=200, exact rerank). Train {t_train:.1f}s on
-bounded 10k samples; index (cells+codes, one Arrow pass) {t_enc:.1f}s.
+{max(256, N // 500):,} planted topics of ~{N // max(256, N // 500):,} members (corpus growth adds
+topics, cluster size stays put — the realistic crawl regime), trained
+nlist={NLIST} cells in normalized space + m={M}×256 codebooks (bounded 10k
+samples, {t_train:.1f}s), RESIDUAL encoding, one-pass index {t_enc:.1f}s,
+nprobe={NPROBE}, exact rerank. Ground truth = exact cosine ({t_exact:.1f}s).
 
-| surface | recall@10 | wall (s) | codes touched / query set |
-|---|---|---|---|
-| ivf_topk (flat, same cells/nprobe) | {r_flat:.3f} | {t_flat:.1f} | {frac:.0%} (full vectors) |
-| pq_topk (full-corpus ADC) | {r_pq:.3f} | {t_pq:.1f} | 100% (codes) |
-| **ivfpq_topk (IVFADC)** | **{r_ivfpq:.3f}** | **{t_ivfpq:.1f}** | **{frac:.0%} (codes)** |
+| refine | ivfpq recall@10 | ivfpq wall (s) | pq recall@10 | pq wall (s) |
+|---|---|---|---|---|
+{tbl}
 
-The composition meets the r4 bar when recall ≥ the flat IVF row (same
-cells probed; the exact rerank over refine=200 recovers the probed
-cells' true top-k) at wall below pq_topk's unpruned scan; the scored
-fraction is the scale story — at 10^9 vectors it is the difference
-between touching {frac:.0%} of the codes and all of them.
+ivf_topk (flat, same cells/nprobe): recall {r_flat:.3f}, wall {t_flat:.1f} s.
+**Per-query scored fraction: {frac:.1%} of codes** (nprobe/nlist cell
+pruning) vs pq_topk's 100% and ivf_topk's 100%-of-full-vectors — the
+composition scores ~{1 / max(frac, 1e-9):.0f}× fewer codes per query than pq_topk at equal
+refine, which at 10^9 vectors is the difference between an in-RAM LUT
+sweep over a shard and one over the whole corpus.
 """
     with open(os.path.join(REPO, "BENCH", "TEXTOPS.md"), "a") as f:
         f.write(section)
-    print(
-        f"ivfpq recall={r_ivfpq:.3f} wall={t_ivfpq:.1f}s | flat {r_flat:.3f}/{t_flat:.1f}s"
-        f" | pq {r_pq:.3f}/{t_pq:.1f}s | touched {frac:.1%}",
-        file=sys.stderr,
-    )
+    print(f"flat {r_flat:.3f}/{t_flat:.1f}s; per-query frac {frac:.1%}", file=sys.stderr)
     spark.stop()
 
 
