@@ -232,6 +232,8 @@ def main():
         # r4 additions: iterative components, the q=1 psi-filter path, and
         # the PQ/ADC memory-at-rest ANN
         "dup_components", "ar11_residuals", "pq_topk",
+        # r5: the IVFADC composition (cell-pruned ADC)
+        "ivfpq_topk",
     ]
     if query_names:
         import __spark_entry__ as entrymod
