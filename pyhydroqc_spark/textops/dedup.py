@@ -648,10 +648,15 @@ def simhash_candidates(
             for s2 in range(4)
         ]
     )
+    # no forced repartition here (unlike level 1): the level-2 subtree is
+    # EMPTY unless 12-bit sub-buckets run hot, and a pinned 32-task
+    # exchange on an empty stage costs ~1.5s of pure scheduling at bench
+    # SF; when the stage does carry data its parallelism is bounded by
+    # the (small) hot-sub-bucket count anyway, which AQE sizes correctly
     sub2_banded = hot2.select(
         "q", "qv", "sq", "sv", "id", "simhash",
         F.posexplode(sub2).alias("ssq", "ssv"),
-    ).repartition(n, "q", "qv", "sq", "sv", "ssq", "ssv")
+    )
     hot2_grouped = (
         sub2_banded.groupBy("q", "qv", "sq", "sv", "ssq", "ssv")
         .agg(
