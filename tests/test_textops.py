@@ -1037,3 +1037,46 @@ def test_ivfpq_topk_prunes_cells_and_keeps_recall(spark):
     byq_r = got_raw.groupby("query_id")["neighbor_id"].apply(set)
     hits_r = sum(len(truth[q] & byq_r.get(q, set())) for q in truth.index)
     assert hits_r <= hits + 5  # residual ≥ raw (small slack for rerank ties)
+
+
+def test_ivfpq_index_partitioned_by_cell_prunes_scan(spark, tmp_path):
+    """The production IVFADC layout: persist the index PARTITIONED BY cell,
+    and the probed-cell filter becomes real partition pruning — the scan
+    plan must carry a cell PartitionFilter and read only the probed
+    directories. Results from the pruned on-disk index must equal the
+    in-memory index bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(0, 1, (400, 16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(400), "embedding": list(map(list, X))}),
+        "vec_id long, embedding array<double>",
+    )
+    cents = ann.ivf_centroids(16, 8)
+    books = ann.pq_codebooks_hash(16, m=4, k=16)
+    idx = ann.ivfpq_index(df, cents, books, encode="raw")
+    out = str(tmp_path / "ivfpq_index")
+    idx.write.partitionBy("cell").parquet(out)
+
+    disk = spark.read.parquet(out)
+    queries = df.where(F.col("vec_id") < 3)
+
+    got_disk = ann.ivfpq_topk(
+        disk, queries, cents, books, k=5, nprobe=2, refine=20, full_vectors=df
+    )
+    # the probed-cell filter must reach the scan as a PartitionFilter
+    plan = got_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+
+    got_mem = ann.ivfpq_topk(
+        idx, queries, cents, books, k=5, nprobe=2, refine=20, full_vectors=df
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    gd = got_disk.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gd[["query_id", "neighbor_id", "rank"]],
+        got_mem[["query_id", "neighbor_id", "rank"]],
+    )
