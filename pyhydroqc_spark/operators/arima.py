@@ -503,12 +503,14 @@ def _lag1_corr(x: np.ndarray) -> float:
     return float(np.corrcoef(a, b)[0, 1])
 
 
-def auto_order(x: np.ndarray, max_p: int = 3, max_q: int = 2):
+def auto_order(x: np.ndarray, max_p: int = 3, max_q: int = 2, method: str = "css"):
     """Small deterministic AIC grid — the pmdarima auto_arima stand-in.
 
     d by successive differencing while the series looks integrated
     (lag-1 autocorrelation > 0.95), then (p,q) minimizing
-    n·log(σ̂²) + 2(p+q+1) on conditional residuals.
+    n·log(σ̂²) + 2(p+q+1) on conditional residuals. ``method="mle"``
+    scores the grid with exact-likelihood fits (the offline once-per-
+    sensor configuration path; the CSS grid is the at-scale default).
     """
     x = np.asarray(x, dtype=float)
     d = 0
@@ -524,7 +526,7 @@ def auto_order(x: np.ndarray, max_p: int = 3, max_q: int = 2):
         for q in range(max_q + 1):
             if p == 0 and q == 0 and d == 0:
                 continue
-            c, phi, theta = fit_arma(y, p, q, intercept=(d == 0))
+            c, phi, theta = fit_arma(y, p, q, intercept=(d == 0), method=method)
             _, e = arma_one_step(y, c, phi, theta)
             k = max(p, q)
             sig2 = float(np.mean(e[k:] ** 2)) if n > k else np.inf
