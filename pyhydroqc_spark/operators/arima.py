@@ -293,18 +293,20 @@ def fit_arma_mle(y: np.ndarray, p: int, q: int, intercept: bool = True):
         return _kalman_neg_loglik(y, cc, ph, th)
 
     x0 = np.r_[[c0] if intercept else [], phi0, theta0]
-    if not np.isfinite(obj(x0)):
+    f0 = obj(x0)
+    if not np.isfinite(f0):
         # infeasible start (explosive HR estimate survived shrinkage):
         # fall back to a mild pull toward zero until feasible
         for shrink in (0.9, 0.7, 0.5, 0.2):
             xs = x0 * shrink
-            if np.isfinite(obj(xs)):
-                x0 = xs
+            fs = obj(xs)
+            if np.isfinite(fs):
+                x0, f0 = xs, fs
                 break
         else:
             return c0, phi0, theta0
     xb, fb = _nelder_mead(obj, x0, max_iter=200 * (p + q + 1))
-    if not np.isfinite(fb) or fb > obj(x0):
+    if not np.isfinite(fb) or fb > f0:
         return c0, phi0, theta0
     return unpack(xb)
 

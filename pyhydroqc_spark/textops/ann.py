@@ -277,20 +277,27 @@ def _with_buckets(d: DataFrame, tables, id_col: str, vec_col: str, idc: str) -> 
                 continue
             ids = pdf[id_col].values
             vecs = pdf[vec_col]
-            # empty/NULL vectors: dot = 0.0 → every sign bit set (the HOF
-            # fold's aggregate-over-empty semantics) — handled naturally
-            # by the zero init below
+            # edge parity with the replaced HOF expression: an EMPTY array
+            # aggregates to dot 0.0 → every sign bit set (zero init below
+            # covers that); a NULL vector gave NULL dot → when(...).
+            # otherwise(0) → bucket 0 in EVERY table (null_mask below)
             X = np.zeros((len(pdf), dim), dtype=np.float64)
+            null_mask = np.zeros(len(pdf), dtype=bool)
             for i, v in enumerate(vecs):
-                if v is not None and len(v):
+                if v is None:
+                    null_mask[i] = True
+                elif len(v):
                     X[i, : len(v)] = np.asarray(v, dtype=np.float64)
             dots = np.zeros((len(pdf), n_tables, n_planes))
             # sequential over d: per-row addition order identical to a
             # scalar left-to-right sum (bit-parity with the SQL oracle)
             for dd in range(dim):
                 dots += X[:, dd, None, None] * H[None, :, :, dd]
-            bits = (dots >= 0.0).astype(np.int64)
+            # Spark orders NaN above every number (NaN >= 0 is true);
+            # numpy says False — OR in isnan for bit parity
+            bits = ((dots >= 0.0) | np.isnan(dots)).astype(np.int64)
             buckets = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=2)
+            buckets[null_mask] = 0
             yield pd.DataFrame(
                 {
                     idc: np.repeat(ids, n_tables),
@@ -436,11 +443,15 @@ def train_pq_codebooks(
         frac_df = frac_df.sample(fraction=min(1.0, sample_n * 1.2 / n_total), seed=seed)
     X = np.array(frac_df.limit(sample_n).toPandas()[vec_col].tolist(), dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _subspace_kmeans(X, m, k, iters, np.random.default_rng(seed))
+
+
+def _subspace_kmeans(X: np.ndarray, m: int, k: int, iters: int, rng) -> list:
+    """Lloyd k-means per equal subspace of an in-memory sample → m books."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sd = d // m
-    rng = np.random.default_rng(seed)
     books = []
     for j in range(m):
         S = X[:, j * sd : (j + 1) * sd]
@@ -457,6 +468,34 @@ def train_pq_codebooks(
                     cents[c] = S[int(d2[np.arange(len(S)), assign].argmax())]
         books.append(cents.tolist())
     return books
+
+
+def train_pq_codebooks_residual(
+    df: DataFrame,
+    centroids: list,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_n: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> list:
+    """PQ codebooks trained on IVF RESIDUALS — the codebooks
+    ``ivfpq_index(encode="residual")`` actually quantizes. Codebooks fit
+    to raw vectors model the wrong distribution for residual encoding
+    (residuals are centered near zero with per-cell spread); training on
+    ``x_norm − centroid[cell]`` of the bounded sample is the FAISS IVFADC
+    recipe. Same driver-sample contract as ``train_pq_codebooks``."""
+    frac_df = df.select(vec_col)
+    n_total = frac_df.count()
+    if n_total > sample_n:
+        frac_df = frac_df.sample(fraction=min(1.0, sample_n * 1.2 / n_total), seed=seed)
+    X = np.array(frac_df.limit(sample_n).toPandas()[vec_col].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+    R = X - cents[d2.argmin(axis=1)]
+    return _subspace_kmeans(R, m, k, iters, np.random.default_rng(seed))
 
 
 def pq_encode(
@@ -567,13 +606,20 @@ def pq_topk(
             dist = np.zeros((len(Q), len(codes)))
             for j in range(m):
                 dist += lut[:, j, :][:, codes[:, j]]
-            top = min(refine, dist.shape[1])
-            part = np.argpartition(dist, top - 1, axis=1)[:, :top]
             rows = []
             for qi in range(len(Q)):
-                for n_ix in part[qi]:
-                    if ids[n_ix] != qids[qi]:  # drop self-match only
-                        rows.append((qi, ids[n_ix], float(dist[qi, n_ix])))
+                # self-exclusion BEFORE the partial top-k (a self row must
+                # not consume a refine slot — the SQL oracle filters self
+                # first), and (adc, id) lexsort so exact-ADC ties at the
+                # refine boundary resolve by neighbor id like the oracle's
+                # ORDER BY dist, nid — not by batch layout
+                mask = ids != qids[qi]
+                ids_q = ids[mask]
+                d_q = dist[qi][mask]
+                top = min(refine, len(d_q))
+                keep = np.lexsort((ids_q, d_q))[:top]
+                for n_ix in keep:
+                    rows.append((qi, ids_q[n_ix], float(d_q[n_ix])))
             yield pd.DataFrame(rows, columns=["query_ix", "neighbor_id", "adc"])
 
     cand = codes_df.mapInPandas(score, schema=out_schema)
@@ -804,22 +850,25 @@ def ivfpq_topk(
                 lut3 = np.stack([luts[(qi, int(c))] for qi in qlist])
                 dist = lut3[:, jix[None, :], codes_c].sum(axis=2)
                 # keep only each query's best `refine` of THIS cell — the
-                # per-batch merge below re-refines across cells
-                top = min(refine, dist.shape[1])
-                part = np.argpartition(dist, top - 1, axis=1)[:, :top]
+                # per-batch merge below re-refines across cells. Self is
+                # excluded BEFORE the prune (it must not consume a refine
+                # slot — the SQL oracle filters self first) and the prune
+                # is an (adc, id) lexsort so exact-ADC ties at the
+                # boundary resolve by neighbor id like the oracle's
+                # ORDER BY dist, nid, not by batch layout
                 for row, qi in enumerate(qlist):
-                    keep = part[row]
-                    q_chunks.setdefault(qi, []).append(
-                        (ids_c[keep], dist[row][keep])
-                    )
+                    mask = ids_c != qids[qi]
+                    ids_q = ids_c[mask]
+                    d_q = dist[row][mask]
+                    top = min(refine, len(d_q))
+                    keep = np.lexsort((ids_q, d_q))[:top]
+                    q_chunks.setdefault(qi, []).append((ids_q[keep], d_q[keep]))
             qix_out, ids_out, adc_out = [], [], []
             for qi, chunks in q_chunks.items():
                 ids_q = np.concatenate([c[0] for c in chunks])
                 adc_q = np.concatenate([c[1] for c in chunks])
-                mask = ids_q != qids[qi]  # drop self-match
-                ids_q, adc_q = ids_q[mask], adc_q[mask]
                 if len(adc_q) > refine:  # partition-local partial top-k
-                    keep = np.argpartition(adc_q, refine - 1)[:refine]
+                    keep = np.lexsort((ids_q, adc_q))[:refine]
                     ids_q, adc_q = ids_q[keep], adc_q[keep]
                 qix_out.append(np.full(len(ids_q), qi, dtype=np.int64))
                 ids_out.append(ids_q)

@@ -990,7 +990,9 @@ def test_ivfpq_topk_prunes_cells_and_keeps_recall(spark):
     queries = df.where(F.col("vec_id") % 89 == 0)
 
     cents = ann.train_ivf_centroids(dfn, nlist=8, sample_n=800, seed=3)
-    books = ann.train_pq_codebooks(df, m=4, k=32, sample_n=800, seed=3)
+    # residual-trained codebooks — the distribution encode="residual"
+    # actually quantizes
+    books = ann.train_pq_codebooks_residual(df, cents, m=4, k=32, sample_n=800, seed=3)
     idx = ann.ivfpq_index(df, cents, books, encode="residual")
     ipdf = idx.toPandas()
     assert set(ipdf.columns) == {"vec_id", "cell", "codes"}
@@ -1028,10 +1030,12 @@ def test_ivfpq_topk_prunes_cells_and_keeps_recall(spark):
         neigh = got1[got1.query_id == qr["vec_id"]]["neighbor_id"]
         assert (cells.loc[neigh] == probed).all()
 
-    # raw encoding with the same budget must not beat residual encoding
-    idx_raw = ann.ivfpq_index(df, cents, books, encode="raw")
+    # raw encoding with the same budget (its own rightly-trained books)
+    # must not beat residual encoding with residual-trained books
+    books_raw = ann.train_pq_codebooks(df, m=4, k=32, sample_n=800, seed=3)
+    idx_raw = ann.ivfpq_index(df, cents, books_raw, encode="raw")
     got_raw = ann.ivfpq_topk(
-        idx_raw, queries, cents, books, k=10, nprobe=4, refine=60,
+        idx_raw, queries, cents, books_raw, k=10, nprobe=4, refine=60,
         full_vectors=df, encode="raw",
     ).toPandas()
     byq_r = got_raw.groupby("query_id")["neighbor_id"].apply(set)

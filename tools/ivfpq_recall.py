@@ -79,14 +79,21 @@ def main():
     )
     t0 = time.time()
     cents = ann.train_ivf_centroids(norm_df, nlist=NLIST, sample_n=10_000, seed=9)
-    books = ann.train_pq_codebooks(df, m=M, k=256, sample_n=10_000, seed=9)
+    # residual-trained codebooks: what encode="residual" actually
+    # quantizes (vector-trained books model the wrong distribution)
+    books = ann.train_pq_codebooks_residual(
+        df, cents, m=M, k=256, sample_n=10_000, seed=9
+    )
+    books_raw = ann.train_pq_codebooks(df, m=M, k=256, sample_n=10_000, seed=9)
     t_train = time.time() - t0
     t0 = time.time()
     idx = ann.ivfpq_index(df, cents, books, encode="residual").persist()
     idx.count()
     t_enc = time.time() - t0
 
-    codes = ann.pq_encode(df, books).persist()
+    # the flat-PQ comparison uses vector-trained books (its own right
+    # distribution — it quantizes raw normalized vectors)
+    codes = ann.pq_encode(df, books_raw).persist()
     codes.count()
 
     rows = []
@@ -99,7 +106,7 @@ def main():
         t_ivfpq = time.time() - t0
         t0 = time.time()
         got_pq = ann.pq_topk(
-            codes, queries, books, k=10, refine=refine, full_vectors=df
+            codes, queries, books_raw, k=10, refine=refine, full_vectors=df
         ).toPandas()
         t_pq = time.time() - t0
         rows.append((refine, recall(got), t_ivfpq, recall(got_pq), t_pq))
