@@ -1143,6 +1143,49 @@ def q_retention_counts(spark, sf_dir):
     )
 
 
+def q_streaming_detect(spark, sf_dir):
+    """r5 CUSTOM STATEFUL streaming operator gate: per-series QC
+    (range_check + persistence) via applyInPandasWithState, TWO
+    AvailableNow drains with every series' prefix in drain 1 and suffix in
+    drain 2 — so persistence runs deliberately straddle the drain boundary
+    and are only flagged correctly if the open-run state survives the
+    checkpoint. Values are floor-quantized to a 5-wide grid so equal-value
+    runs actually occur in the events data. Oracle = the batch
+    range+persistence semantics in SQL over the same quantized series.
+    NaN sentinels flush each series' final open run."""
+    import os
+    import tempfile
+
+    from pyhydroqc_spark import streaming
+
+    MX, MN, PLEN = 60.0, 5.0, 3
+    base = _events_long(spark, sf_dir).select(
+        "doc_id", "pos", (F.floor(F.col("value") / 5.0) * 5.0).alias("value")
+    )
+    half = base.agg(F.max("pos")).first()[0] // 2
+
+    tmp = tempfile.mkdtemp(prefix="stream_detect_gate_")
+    in_dir, out_dir = os.path.join(tmp, "in"), os.path.join(tmp, "out")
+    base.where(F.col("pos") < half).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+    tail = base.where(F.col("pos") >= half)
+    sentinels = base.select("doc_id").distinct().select(
+        "doc_id",
+        F.lit(10_000_000).cast("bigint").alias("pos"),
+        F.lit(float("nan")).cast("double").alias("value"),
+    )
+    tail.unionByName(sentinels).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+
+    out = spark.read.parquet(os.path.join(out_dir, "flags"))
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("value", 6).alias("value"),
+        "anomaly",
+    )
+
+
 def q_dup_keep_list(spark, sf_dir):
     """The actionable full keep-list: dup_components with ``corpus=`` folds
     singleton docs (no near-dup pair) back in as their own keep=true
@@ -1209,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "retention_counts": q_retention_counts,
+        "streaming_detect": q_streaming_detect,
     }
 
 
@@ -2334,6 +2378,30 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 SELECT doc_id, bucket_s, cnt, sum_val, avg_val, min_val, max_val
 FROM cells, cut
 WHERE CAST(FLOOR(bucket_s / 86400.0) AS BIGINT) >= cutoff
+"""
+
+    sql["streaming_detect"] = BASE_SQL + """
+, q AS (
+  SELECT doc_id, pos, FLOOR(value / 5.0) * 5.0 AS v FROM base
+), fl AS (
+  SELECT doc_id, pos, v,
+         (v > 60.0 OR v < 5.0) AS rngf,
+         CASE WHEN v = LAG(v) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 1 ELSE 0 END AS rep
+  FROM q
+), gid AS (
+  SELECT doc_id, pos, v, rngf, rep,
+         SUM(1 - rep) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM fl
+), cnt AS (
+  SELECT doc_id, pos, v, rngf, rep,
+         SUM(rep) OVER (PARTITION BY doc_id, g) AS reps
+  FROM gid
+)
+SELECT doc_id, pos, ROUND(v, 6) AS value,
+       (rngf OR (rep = 1 AND reps >= 3)) AS anomaly
+FROM cnt
 """
 
     # streaming continuous-aggregate contract: the incrementally-merged

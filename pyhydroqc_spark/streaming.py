@@ -176,3 +176,214 @@ def run_streaming_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------- stateful streaming detect
+
+DETECT_OUT_SCHEMA = "doc_id string, pos bigint, value double, anomaly boolean"
+DETECT_STATE_SCHEMA = (
+    "prev double, reps bigint, flagged boolean, "
+    "buf_pos array<bigint>, buf_val array<double>, buf_rng array<boolean>"
+)
+
+
+def stateful_detect_stream(
+    points,
+    max_range: float,
+    min_range: float,
+    persist_len: int,
+    key: str = "doc_id",
+):
+    """Per-series QC (range_check + persistence) as a CUSTOM STATEFUL
+    streaming operator — ``applyInPandasWithState`` carrying the run state
+    across micro-batches, so a persistence run that straddles a batch (or
+    drain) boundary is flagged exactly as the batch operator flags it on
+    the concatenated series (`rules_detect.py:11-52` semantics: the first
+    point of an equal stretch is NOT part of the persist group; a stretch
+    of k equal values flags its k−1 repeats iff k−1 ≥ persist_len).
+
+    Emission is APPEND-mode-final: a point is emitted once its flag can
+    never change — immediately for non-repeat points and for members of a
+    run already ≥ persist_len; repeats of a still-short OPEN run are
+    buffered in state (bounded: at most persist_len−1 rows — once a run
+    reaches the threshold it flushes flagged and later repeats emit
+    immediately). A NULL value is an end-of-series FLUSH sentinel: it
+    closes the open run (emitting the buffer unflagged) and is dropped.
+
+    The kernel is vectorized per (batch × series): run boundaries come
+    from one shifted-comparison pass, per-run flags from one reduceat —
+    only the ≤2 state-boundary runs are handled individually. Input rows
+    within a batch must be in-series-order by ``pos`` after a sort (the
+    contract of any ordered-ingest stream; out-of-order arrival needs an
+    upstream event-time reorder, exactly as the reference's batch frame
+    assumes sorted timestamps)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key_, pdf_iter, state):
+        if state.exists:
+            prev, reps, flagged, buf_pos, buf_val, buf_rng = state.get
+            buf_pos, buf_val, buf_rng = list(buf_pos), list(buf_val), list(buf_rng)
+        else:
+            prev, reps, flagged = None, 0, False
+            buf_pos, buf_val, buf_rng = [], [], []
+        out_frames = []
+
+        def process_span(pos, val, rng_flag, rep):
+            """One sentinel-free span. Vectorized: stretch ids by cumsum of
+            non-repeat heads, per-stretch repeat counts by bincount; only
+            the two state-boundary stretches get scalar bookkeeping."""
+            nonlocal prev, reps, flagged, buf_pos, buf_val, buf_rng
+            n = len(pos)
+            if n == 0:
+                return None
+            nonrep = ~rep
+            sid = np.cumsum(nonrep)          # carried-run members have sid 0
+            last = int(sid[-1])
+            rep_counts = np.bincount(sid[rep], minlength=last + 1)
+            totals = rep_counts.astype(np.int64)
+            continues = bool(rep[0])         # batch head continues the open run
+            if continues:
+                totals[0] += reps
+            # per-point persist flag (rep members of a qualifying stretch)
+            pflag = rep & (totals[sid] >= persist_len)
+            flags = rng_flag | pflag
+
+            head_frames = []
+            # resolve the carried buffer
+            if buf_pos:
+                if continues and totals[0] >= persist_len:
+                    bflags = [True] * len(buf_pos)   # run crossed threshold
+                elif continues and last == 0:
+                    bflags = None                     # still open, still short
+                else:
+                    bflags = list(buf_rng)            # run closed short
+                if bflags is not None:
+                    head_frames.append((list(buf_pos), list(buf_val), bflags))
+                    buf_pos, buf_val, buf_rng = [], [], []
+            elif not continues:
+                pass  # nothing carried to resolve
+
+            # trailing open stretch: defer its unflagged rep members
+            open_short = totals[last] < persist_len
+            tail_mask = rep & (sid == last) if open_short else np.zeros(n, bool)
+            emit_mask = ~tail_mask
+            if tail_mask.any():
+                buf_pos.extend(int(x) for x in pos[tail_mask])
+                buf_val.extend(float(x) for x in val[tail_mask])
+                buf_rng.extend(bool(x) for x in rng_flag[tail_mask])
+
+            # state for the open run
+            if continues and last == 0:
+                reps = int(totals[0])
+            else:
+                reps = int(rep_counts[last])
+            flagged = bool(totals[last] >= persist_len)
+            prev = float(val[-1])
+
+            return head_frames, pos[emit_mask], val[emit_mask], flags[emit_mask]
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("pos")
+            pos_all = pdf["pos"].to_numpy(dtype=np.int64)
+            val_all = pdf["value"].to_numpy(dtype=np.float64)
+            if not len(pos_all):
+                continue
+            sentinel = np.isnan(val_all)
+            rng_all = np.where(
+                sentinel, False, (val_all > max_range) | (val_all < min_range)
+            )
+            # split at sentinels (rare end-of-series flush markers); each
+            # sentinel closes the open run and emits the buffer unflagged
+            bounds = [-1] + list(np.flatnonzero(sentinel)) + [len(val_all)]
+            for b in range(len(bounds) - 1):
+                lo, hi = bounds[b] + 1, bounds[b + 1]
+                if bounds[b] >= 0:  # a sentinel sits at bounds[b]
+                    if buf_pos:
+                        out_frames.append(
+                            pd.DataFrame(
+                                {"doc_id": key_[0], "pos": buf_pos,
+                                 "value": buf_val, "anomaly": buf_rng}
+                            )
+                        )
+                    buf_pos, buf_val, buf_rng = [], [], []
+                    reps, flagged, prev = 0, False, None
+                if hi <= lo:
+                    continue
+                pos, val, rngf = pos_all[lo:hi], val_all[lo:hi], rng_all[lo:hi]
+                rep = np.zeros(hi - lo, dtype=bool)
+                rep[1:] = val[1:] == val[:-1]
+                if prev is not None:
+                    rep[0] = val[0] == prev
+                res = process_span(pos, val, rngf.astype(bool), rep)
+                if res is None:
+                    continue
+                head_frames, e_pos, e_val, e_flag = res
+                for hp, hv, hf in head_frames:
+                    out_frames.append(
+                        pd.DataFrame(
+                            {"doc_id": key_[0], "pos": hp, "value": hv,
+                             "anomaly": hf}
+                        )
+                    )
+                if len(e_pos):
+                    out_frames.append(
+                        pd.DataFrame(
+                            {"doc_id": key_[0], "pos": e_pos, "value": e_val,
+                             "anomaly": e_flag}
+                        )
+                    )
+        state.update(
+            (
+                prev if prev is None else float(prev),
+                int(reps),
+                bool(flagged),
+                buf_pos,
+                buf_val,
+                buf_rng,
+            )
+        )
+        for f in out_frames:
+            yield f
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return points.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=DETECT_OUT_SCHEMA,
+        stateStructType=DETECT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_detect(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    max_range: float,
+    min_range: float,
+    persist_len: int,
+) -> None:
+    """Drain pending point files → stateful QC → append flagged points.
+
+    ``Trigger.AvailableNow`` + the Spark state store under the checkpoint:
+    a run that straddles two DRAINS (separate invocations, possibly after
+    a crash) is still flagged exactly once with batch semantics, because
+    the open-run buffer lives in checkpointed state, not in the driver."""
+    stream = (
+        spark.readStream.schema("doc_id string, pos bigint, value double")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    flagged = stateful_detect_stream(
+        stream, max_range, min_range, persist_len
+    )
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "flags"))
+        .option("checkpointLocation", os.path.join(out_dir, "_detect_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

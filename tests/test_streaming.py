@@ -299,3 +299,81 @@ def test_crash_between_tier_commits_self_heals(spark, tmp_path):
             got.reset_index(drop=True)[exp.columns], exp.reset_index(drop=True),
             check_dtype=False,
         )
+
+
+def _detect_batch_oracle(spark, pdf, mx, mn, plen):
+    from pyhydroqc_spark.operators import rules
+
+    df = spark.createDataFrame(pdf, "doc_id string, pos bigint, value double")
+    out = rules.persistence(
+        rules.range_check(df, mx, mn), plen, key="doc_id", order="pos"
+    )
+    return (
+        out.select("doc_id", "pos", "value", "anomaly")
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+
+
+def test_stateful_streaming_detect_matches_batch_across_drains(spark, tmp_path):
+    """applyInPandasWithState QC: two AvailableNow drains over chunked
+    series — with persistence runs deliberately STRADDLING the drain
+    boundary — must produce exactly the batch operator's flags on the
+    concatenated series. The open-run buffer lives in checkpointed state;
+    a NaN sentinel row per series flushes the final open run."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark import streaming
+
+    rng = np.random.default_rng(17)
+    MX, MN, PLEN = 8.0, -8.0, 4
+    rows = []
+    for s in range(6):
+        vals = list(np.round(rng.normal(0, 3, 40), 1))
+        # plant a 7-long equal run straddling pos 45..51 (drain splits at 50)
+        vals += [5.5] * 7
+        # a short run (length 3 -> 2 repeats < PLEN) also straddling
+        vals += list(np.round(rng.normal(0, 3, 3), 1)) + [2.2] * 3
+        vals += list(np.round(rng.normal(0, 3, 12), 1))
+        # an out-of-range spike
+        vals[10] = 99.0
+        rows.extend((f"s{s}", i, float(v)) for i, v in enumerate(vals))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "pos", "value"])
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    split = 50
+    spark.createDataFrame(
+        pdf[pdf.pos < split], "doc_id string, pos bigint, value double"
+    ).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+
+    # second drain: the rest of every series + a NaN flush sentinel
+    tail = pdf[pdf.pos >= split].copy()
+    sentinels = pd.DataFrame(
+        {"doc_id": [f"s{s}" for s in range(6)],
+         "pos": [10_000] * 6, "value": [float("nan")] * 6}
+    )
+    spark.createDataFrame(
+        pd.concat([tail, sentinels]), "doc_id string, pos bigint, value double"
+    ).write.mode("append").parquet(in_dir)
+    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    exp = _detect_batch_oracle(spark, pdf, MX, MN, PLEN)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "pos", "anomaly"]], exp[["doc_id", "pos", "anomaly"]]
+    )
+    # the straddling 7-run must actually be flagged (6 repeats >= 4) and
+    # the short straddling 3-run must not (2 repeats < 4)
+    s0 = got[got.doc_id == "s0"].set_index("pos")["anomaly"]
+    assert s0.loc[41:46].all()          # repeats of the long run
+    assert not s0.loc[40]               # head of the run is never flagged
+    assert not s0.loc[51:52].any()      # short run's repeats unflagged
