@@ -488,12 +488,20 @@ def q_token_count(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     """Per-doc text analysis in one gate: text_stats + quality_score +
-    token_count joined on doc id — every component column hash-checked
-    (consolidates three r4 gates into one queries() slot)."""
+    token_count + corpus-trained bigram-LM perplexity (r5) joined on doc
+    id — every component column hash-checked (consolidates three r4
+    gates plus the new statistical quality signal into one slot)."""
+    from pyhydroqc_spark.textops import quality
+
+    ppl = quality.ngram_perplexity(_docs(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("log2_ppl", 6).alias("log2_ppl"),
+    )
     return (
         q_text_stats(spark, sf_dir)
         .join(q_quality_score(spark, sf_dir), "id")
         .join(q_token_count(spark, sf_dir), "id")
+        .join(ppl, "id", "left")
     )
 
 
@@ -1681,8 +1689,29 @@ WITH s AS (
          length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS alnum,
          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
   FROM documents
+), bg AS (
+  SELECT doc_id, b['prev'] AS prev, b['cur'] AS cur FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+           i -> {'prev': words[i], 'cur': words[i + 1]})) AS b
+    FROM s
+  )
+), c2 AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY prev, cur
+), c1 AS (
+  SELECT prev, COUNT(*) AS c1 FROM bg GROUP BY prev
+), vv AS (
+  SELECT COUNT(DISTINCT wd) AS V FROM (
+    SELECT prev AS wd FROM bg UNION ALL SELECT cur FROM bg)
+), ppl AS (
+  SELECT bg.doc_id,
+         -AVG(log2((c2.c2 + 1) * 1.0 / (c1.c1 + vv.V))) AS log2_ppl
+  FROM bg
+  JOIN c2 ON c2.prev = bg.prev AND c2.cur = bg.cur
+  JOIN c1 ON c1.prev = bg.prev
+  CROSS JOIN vv
+  GROUP BY bg.doc_id
 )
-SELECT doc_id AS id,
+SELECT s.doc_id AS id,
        CAST(len(words) AS BIGINT) AS n_words,
        CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
        CAST(n_chars AS BIGINT) AS n_chars,
@@ -1692,8 +1721,9 @@ SELECT doc_id AS id,
          + len(list_distinct(words)) * 1.0 / GREATEST(len(words), 1)
          + alnum * 1.0 / GREATEST(nc, 1)
        ) / 3.0, 6) AS quality,
-       CAST(len(words) AS BIGINT) AS ws_tokens
-FROM s
+       CAST(len(words) AS BIGINT) AS ws_tokens,
+       ROUND(ppl.log2_ppl, 6) AS log2_ppl
+FROM s LEFT JOIN ppl ON ppl.doc_id = s.doc_id
 """
 
 

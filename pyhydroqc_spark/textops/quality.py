@@ -125,3 +125,51 @@ def fingerprint(
         F.col(id_col).alias("id"),
         F.array_min(F.transform(sh, lambda g: _hash64(g, hash_fn))).alias("fingerprint"),
     )
+
+
+def ngram_perplexity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, log2_ppl): per-doc bigram-LM perplexity under a model trained
+    on the CORPUS ITSELF — the classic statistical quality signal for
+    pre-training curation (docs whose word transitions the corpus has
+    never seen score high; boilerplate scores low). Add-one smoothing:
+
+        P(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + 1) / (c1(w_{i-1}) + V)
+        log2_ppl(doc)    = −(1/n) · Σ log2 P over the doc's n bigrams
+
+    Physical shape, all JVM-side: one explode to (doc, prev, word) pairs,
+    two hash aggregations for the model (bigram + unigram-context
+    counts), one shuffle join of doc-bigrams against the model keyed on
+    the bigram, map-side-combinable per-doc average. The "model" never
+    leaves the cluster — at 10^9 docs it is a distributed table, not a
+    driver artifact. Docs with <2 words get NULL (no transitions)."""
+    w = _words(text_col)
+    pairs = (
+        df.select(F.col(id_col).alias("id"), w.alias("__w"))
+        .select(
+            "id",
+            F.posexplode(F.slice("__w", 2, F.greatest(F.size("__w") - 1, F.lit(0))))
+            .alias("__i", "__cur"),
+            F.col("__w").alias("__all"),
+        )
+        .select(
+            "id",
+            F.element_at("__all", F.col("__i") + 1).alias("prev"),
+            F.col("__cur").alias("cur"),
+        )
+    )
+    c2 = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    vocab = pairs.select(F.col("prev").alias("wd")).union(
+        pairs.select(F.col("cur").alias("wd"))
+    )
+    V = vocab.distinct().count()
+    model = c2.join(c1, "prev").select(
+        "prev", "cur",
+        (F.log2((F.col("c2") + 1) / (F.col("c1") + F.lit(float(V))))).alias("__lp"),
+    )
+    scored = pairs.join(model, ["prev", "cur"])
+    return scored.groupBy("id").agg(
+        (-F.avg("__lp")).alias("log2_ppl")
+    )

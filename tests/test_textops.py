@@ -1084,3 +1084,22 @@ def test_ivfpq_index_partitioned_by_cell_prunes_scan(spark, tmp_path):
         gd[["query_id", "neighbor_id", "rank"]],
         got_mem[["query_id", "neighbor_id", "rank"]],
     )
+
+
+def test_ngram_perplexity_matches_hand_computation(spark):
+    """Bigram add-one LM on a 2-doc corpus, hand-computed: V=3,
+    P(a→b)=4/6, P(b→a)=P(b→c)=2/5; single-word docs get no row."""
+    import math
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a b", "a b c", "solo"]})
+    )
+    got = quality.ngram_perplexity(df).toPandas().set_index("id")["log2_ppl"]
+    p_ab, p_ba = math.log2(4 / 6), math.log2(2 / 5)
+    exp1 = -(2 * p_ab + p_ba) / 3
+    exp2 = -(p_ab + p_ba) / 2
+    assert abs(got.loc[1] - exp1) < 1e-9
+    assert abs(got.loc[2] - exp2) < 1e-9
+    assert 3 not in got.index  # no bigrams -> no row
+    # boilerplate scores LOWER (more predictable) than novel text
+    assert got.loc[1] < got.loc[2]
