@@ -1103,3 +1103,47 @@ def test_ngram_perplexity_matches_hand_computation(spark):
     assert 3 not in got.index  # no bigrams -> no row
     # boilerplate scores LOWER (more predictable) than novel text
     assert got.loc[1] < got.loc[2]
+
+
+def test_adc_topk_partition_invariant_under_ties(spark):
+    """r5 regression: with duplicated identical vectors (exact ADC ties)
+    and a tight refine, pq_topk/ivfpq_topk results must not depend on how
+    the codes are partitioned — the kernel's (adc, neighbor_id) lexsort
+    prune and self-before-prune exclusion make the candidate set
+    deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(0, 1, (30, 16))
+    X = np.vstack([base, base, base])  # every vector duplicated 3x: ties
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(90), "embedding": list(map(list, X))}),
+        "vec_id long, embedding array<double>",
+    )
+    books = ann.pq_codebooks_hash(16, m=4, k=16)
+    queries = df.where(F.col("vec_id") < 2)
+
+    outs = []
+    for parts in (1, 7):
+        codes = ann.pq_encode(df.repartition(parts), books)
+        got = (
+            ann.pq_topk(codes, queries, books, k=8, refine=10, full_vectors=df)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        outs.append(got[["query_id", "neighbor_id", "rank"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    cents = ann.ivf_centroids(16, 4)
+    outs2 = []
+    for parts in (1, 7):
+        idx = ann.ivfpq_index(df.repartition(parts), cents, books)
+        got = (
+            ann.ivfpq_topk(idx, queries, cents, books, k=8, nprobe=2,
+                           refine=10, full_vectors=df)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        outs2.append(got[["query_id", "neighbor_id", "rank"]])
+    pd.testing.assert_frame_equal(outs2[0], outs2[1])
