@@ -161,13 +161,20 @@ def ngram_perplexity(
     )
     c2 = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
     c1 = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
-    vocab = pairs.select(F.col("prev").alias("wd")).union(
-        pairs.select(F.col("cur").alias("wd"))
+    # V stays IN the plan (broadcast 1-row aggregate) — no separate
+    # driver-blocking count job, and the whole operator remains lazy
+    vocab_n = (
+        pairs.select(F.col("prev").alias("wd"))
+        .union(pairs.select(F.col("cur").alias("wd")))
+        .agg(F.count_distinct("wd").cast("double").alias("__V"))
     )
-    V = vocab.distinct().count()
-    model = c2.join(c1, "prev").select(
-        "prev", "cur",
-        (F.log2((F.col("c2") + 1) / (F.col("c1") + F.lit(float(V))))).alias("__lp"),
+    model = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "prev", "cur",
+            (F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("__V")))).alias("__lp"),
+        )
     )
     scored = pairs.join(model, ["prev", "cur"])
     return scored.groupBy("id").agg(
