@@ -258,3 +258,21 @@ def test_mle_recovers_arma21_golden():
     assert nll <= arima._kalman_neg_loglik(
         y, 0.0, np.array([P1, P2]), np.array([TH])
     ), "MLE must not be beaten by the true parameters' likelihood"
+
+
+def test_mle_recovers_ma4_site_order():
+    """MA(4) — the reference's MainStreet site order pdq (0,1,4)
+    (`parameters.py:70-272`): pinned seed, n=20000; fit within ±0.02 of
+    every θ and the exact likelihood at the estimate beats the true
+    parameters' (the defining MLE property)."""
+    rng = np.random.default_rng(99)
+    n = 20000
+    TH = np.array([0.45, 0.3, 0.2, 0.1])
+    eps = rng.normal(0, 0.3, n)
+    y = eps.copy()
+    for j, t in enumerate(TH, 1):
+        y[j:] += t * eps[:-j]
+    c, phi, th = arima.fit_arma(y, 0, 4, method="mle")
+    np.testing.assert_allclose(th, TH, atol=0.02)
+    nll = arima._kalman_neg_loglik(y, c, phi, th)
+    assert nll <= arima._kalman_neg_loglik(y, 0.0, np.zeros(0), TH)
