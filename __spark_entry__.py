@@ -1160,13 +1160,14 @@ def q_streaming_detect(spark, sf_dir):
     checkpoint. Values are floor-quantized to a 5-wide grid so equal-value
     runs actually occur in the events data. Oracle = the batch
     range+persistence semantics in SQL over the same quantized series.
-    NaN sentinels flush each series' final open run."""
+    Rows at the reserved flush position (out-of-band sentinel — NULL no
+    longer doubles as one) flush each series' final open run."""
     import os
     import tempfile
 
     from pyhydroqc_spark import streaming
 
-    MX, MN, PLEN = 60.0, 5.0, 3
+    MX, MN, PLEN, FLUSH = 60.0, 5.0, 3, 10_000_000
     base = _events_long(spark, sf_dir).select(
         "doc_id", "pos", (F.floor(F.col("value") / 5.0) * 5.0).alias("value")
     )
@@ -1175,15 +1176,19 @@ def q_streaming_detect(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_detect_gate_")
     in_dir, out_dir = os.path.join(tmp, "in"), os.path.join(tmp, "out")
     base.where(F.col("pos") < half).write.mode("append").parquet(in_dir)
-    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+    streaming.run_streaming_detect(
+        spark, in_dir, out_dir, MX, MN, PLEN, flush_pos=FLUSH
+    )
     tail = base.where(F.col("pos") >= half)
     sentinels = base.select("doc_id").distinct().select(
         "doc_id",
-        F.lit(10_000_000).cast("bigint").alias("pos"),
-        F.lit(float("nan")).cast("double").alias("value"),
+        F.lit(FLUSH).cast("bigint").alias("pos"),
+        F.lit(None).cast("double").alias("value"),
     )
     tail.unionByName(sentinels).write.mode("append").parquet(in_dir)
-    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+    streaming.run_streaming_detect(
+        spark, in_dir, out_dir, MX, MN, PLEN, flush_pos=FLUSH
+    )
 
     out = spark.read.parquet(os.path.join(out_dir, "flags"))
     return out.select(

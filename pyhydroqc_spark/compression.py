@@ -49,8 +49,11 @@ class _BitReader:
     and each ``take`` is two shifts and a mask — all C-speed small-int
     ops. (The original per-bit numpy loop was the decode hot spot: 92k
     ``take`` calls per 1,600-point series spent 70% of the roundtrip.)
-    Reads past the end yield zero bits, matching the padded-unpackbits
-    behavior encoders rely on for their final partial byte."""
+    A read past the last byte raises — the encoders pad to a byte
+    boundary with ``packbits``, so every legitimate decode's bit budget
+    fits inside ``len(buf) * 8``; running off the end means the stream
+    is truncated or corrupt, and a loud failure beats silently folding
+    zero bits into a wrong value."""
 
     __slots__ = ("buf", "n_bytes", "byte_pos", "acc", "acc_bits")
 
@@ -64,7 +67,11 @@ class _BitReader:
     def take(self, n: int) -> int:
         acc, acc_bits, bp = self.acc, self.acc_bits, self.byte_pos
         while acc_bits < n:
-            acc = (acc << 8) | (self.buf[bp] if bp < self.n_bytes else 0)
+            if bp >= self.n_bytes:
+                raise ValueError(
+                    "bit stream truncated: read past end of buffer"
+                )
+            acc = (acc << 8) | self.buf[bp]
             bp += 1
             acc_bits += 8
         acc_bits -= n

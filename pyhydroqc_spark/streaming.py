@@ -193,6 +193,7 @@ def stateful_detect_stream(
     min_range: float,
     persist_len: int,
     key: str = "doc_id",
+    flush_pos: int | None = None,
 ):
     """Per-series QC (range_check + persistence) as a CUSTOM STATEFUL
     streaming operator — ``applyInPandasWithState`` carrying the run state
@@ -207,16 +208,31 @@ def stateful_detect_stream(
     run already ≥ persist_len; repeats of a still-short OPEN run are
     buffered in state (bounded: at most persist_len−1 rows — once a run
     reaches the threshold it flushes flagged and later repeats emit
-    immediately). A NULL value is an end-of-series FLUSH sentinel: it
-    closes the open run (emitting the buffer unflagged) and is dropped.
+    immediately).
 
-    The kernel is vectorized per (batch × series): run boundaries come
-    from one shifted-comparison pass, per-run flags from one reduceat —
-    only the ≤2 state-boundary runs are handled individually. Input rows
-    within a batch must be in-series-order by ``pos`` after a sort (the
-    contract of any ordered-ingest stream; out-of-order arrival needs an
-    upstream event-time reorder, exactly as the reference's batch frame
-    assumes sorted timestamps)."""
+    Missing values match the BATCH operators exactly: a NULL/NaN value is
+    emitted as a row with ``anomaly = false`` (range_check coalesces NULL
+    to false) and breaks the repeat chain on both sides (NULL diffs are
+    not repeats) — closing any open run short, so its buffered repeats
+    emit with only their range flags. An END-OF-SERIES flush is signalled
+    OUT OF BAND via a reserved position: rows with ``pos >= flush_pos``
+    (when set) close the open run the same way and are themselves
+    dropped, never emitted. (Earlier revisions overloaded NULL as the
+    flush sentinel, which made a genuine missing value silently vanish.)
+    Caveat: Arrow hands the kernel NaN for both NULL and NaN doubles, so
+    a literal NaN value is treated as missing too — deliberately, since
+    Spark's NaN-is-largest ordering (NaN > max_range ⇒ true) is never
+    the intent for a sensor feed's not-a-number readings.
+
+    The kernel is vectorized per (trigger × series): the group's Arrow
+    chunks are drained fully, concatenated, and sorted by ``pos`` ONCE —
+    ``applyInPandasWithState`` only groups rows by key; it does not order
+    them, and a series whose trigger data spans several Arrow batches (or
+    several input files) would otherwise be processed out of order. State
+    is per-group, so the concat is bounded by one series' trigger data.
+    Run boundaries then come from one shifted-comparison pass, per-run
+    flags from one reduceat — only the ≤2 state-boundary runs are handled
+    individually."""
     import numpy as np
     import pandas as pd
 
@@ -283,22 +299,39 @@ def stateful_detect_stream(
 
             return head_frames, pos[emit_mask], val[emit_mask], flags[emit_mask]
 
-        for pdf in pdf_iter:
+        # drain the WHOLE trigger for this group before touching the span
+        # kernel: chunk-local sorts are not a global order when one
+        # series' rows span several Arrow batches
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             pdf = pdf.sort_values("pos")
             pos_all = pdf["pos"].to_numpy(dtype=np.int64)
             val_all = pdf["value"].to_numpy(dtype=np.float64)
-            if not len(pos_all):
-                continue
-            sentinel = np.isnan(val_all)
+            missing = np.isnan(val_all)
+            if flush_pos is not None:
+                is_flush = pos_all >= flush_pos
+                missing &= ~is_flush
+            else:
+                is_flush = np.zeros(len(val_all), dtype=bool)
             rng_all = np.where(
-                sentinel, False, (val_all > max_range) | (val_all < min_range)
+                missing | is_flush,
+                False,
+                (val_all > max_range) | (val_all < min_range),
             )
-            # split at sentinels (rare end-of-series flush markers); each
-            # sentinel closes the open run and emits the buffer unflagged
-            bounds = [-1] + list(np.flatnonzero(sentinel)) + [len(val_all)]
+            # split at run breaks: flush sentinels (reserved pos, dropped)
+            # and missing values (emitted anomaly=false); both close the
+            # open run, so its buffered repeats emit with range flags only
+            breaks = np.flatnonzero(missing | is_flush)
+            bounds = [-1] + list(breaks) + [len(val_all)]
             for b in range(len(bounds) - 1):
                 lo, hi = bounds[b] + 1, bounds[b + 1]
-                if bounds[b] >= 0:  # a sentinel sits at bounds[b]
+                bi = bounds[b]
+                if bi >= 0:  # a break row sits at bi
                     if buf_pos:
                         out_frames.append(
                             pd.DataFrame(
@@ -308,6 +341,16 @@ def stateful_detect_stream(
                         )
                     buf_pos, buf_val, buf_rng = [], [], []
                     reps, flagged, prev = 0, False, None
+                    if missing[bi]:
+                        # genuine NULL: keep the row, batch semantics
+                        out_frames.append(
+                            pd.DataFrame(
+                                {"doc_id": key_[0],
+                                 "pos": [int(pos_all[bi])],
+                                 "value": [float("nan")],
+                                 "anomaly": [False]}
+                            )
+                        )
                 if hi <= lo:
                     continue
                 pos, val, rngf = pos_all[lo:hi], val_all[lo:hi], rng_all[lo:hi]
@@ -364,6 +407,7 @@ def run_streaming_detect(
     max_range: float,
     min_range: float,
     persist_len: int,
+    flush_pos: int | None = None,
 ) -> None:
     """Drain pending point files → stateful QC → append flagged points.
 
@@ -377,7 +421,7 @@ def run_streaming_detect(
         .parquet(input_dir)
     )
     flagged = stateful_detect_stream(
-        stream, max_range, min_range, persist_len
+        stream, max_range, min_range, persist_len, flush_pos=flush_pos
     )
     q = (
         flagged.writeStream.format("parquet")

@@ -280,14 +280,17 @@ def _with_buckets(d: DataFrame, tables, id_col: str, vec_col: str, idc: str) -> 
             # edge parity with the replaced HOF expression: an EMPTY array
             # aggregates to dot 0.0 → every sign bit set (zero init below
             # covers that); a NULL vector gave NULL dot → when(...).
-            # otherwise(0) → bucket 0 in EVERY table (null_mask below)
+            # otherwise(0) → bucket 0 in EVERY table (null_mask below); a
+            # vector LONGER than the plane dim is truncated — the HOF
+            # zip_with dot stopped at the shorter length
             X = np.zeros((len(pdf), dim), dtype=np.float64)
             null_mask = np.zeros(len(pdf), dtype=bool)
             for i, v in enumerate(vecs):
                 if v is None:
                     null_mask[i] = True
                 elif len(v):
-                    X[i, : len(v)] = np.asarray(v, dtype=np.float64)
+                    a = np.asarray(v[:dim], dtype=np.float64)
+                    X[i, : len(a)] = a
             dots = np.zeros((len(pdf), n_tables, n_planes))
             # sequential over d: per-row addition order identical to a
             # scalar left-to-right sum (bit-parity with the SQL oracle)

@@ -128,7 +128,10 @@ def fingerprint(
 
 
 def ngram_perplexity(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_model: bool = True,
 ) -> DataFrame:
     """(id, log2_ppl): per-doc bigram-LM perplexity under a model trained
     on the CORPUS ITSELF — the classic statistical quality signal for
@@ -138,12 +141,24 @@ def ngram_perplexity(
         P(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + 1) / (c1(w_{i-1}) + V)
         log2_ppl(doc)    = −(1/n) · Σ log2 P over the doc's n bigrams
 
-    Physical shape, all JVM-side: one explode to (doc, prev, word) pairs,
-    two hash aggregations for the model (bigram + unigram-context
-    counts), one shuffle join of doc-bigrams against the model keyed on
-    the bigram, map-side-combinable per-doc average. The "model" never
-    leaves the cluster — at 10^9 docs it is a distributed table, not a
-    driver artifact. Docs with <2 words get NULL (no transitions)."""
+    Physical shape, all JVM-side: the corpus (the posexplode of every
+    document into (doc, prev, cur) bigrams) is scanned exactly TWICE —
+    once to build the bigram-count table ``c2``, once to score documents
+    against the finished model. Everything else derives from ``c2``
+    alone: the context counts ``c1`` are a groupBy-sum over c2 (a table
+    of distinct bigrams, orders of magnitude smaller than the corpus),
+    and the vocabulary size V is a 1-row broadcast aggregate over c2's
+    keys — so at 100 TB there are two full-corpus passes, not five.
+    Catalyst expands every *reference* to c2 back to its full subtree
+    (plans are trees, not DAGs), so with ``cache_model=True`` (default)
+    the bigram table — the model, NOT the corpus — is persisted
+    memory-and-disk: its one corpus pass runs once and c1/V/model read
+    the cache. Pass False for a fully-lazy, side-effect-free plan that
+    re-derives c2 per reference (fine for small corpora). The "model"
+    never leaves the cluster — at 10^9 docs it is a distributed table,
+    not a driver artifact. Docs with <2 words have no bigrams and come
+    back with NULL ``log2_ppl`` (reinstated by a left join on the input
+    ids)."""
     w = _words(text_col)
     pairs = (
         df.select(F.col(id_col).alias("id"), w.alias("__w"))
@@ -160,12 +175,20 @@ def ngram_perplexity(
         )
     )
     c2 = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
-    c1 = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
-    # V stays IN the plan (broadcast 1-row aggregate) — no separate
-    # driver-blocking count job, and the whole operator remains lazy
+    if cache_model:
+        from pyspark import StorageLevel
+
+        c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
+    # context counts from c2, NOT from a second pairs scan: every
+    # occurrence of context w is inside exactly one (w, ·) bigram count
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    # V stays IN the plan (broadcast 1-row aggregate over c2's keys — the
+    # distinct words of prev ∪ cur are exactly the words seen in any
+    # bigram slot) — no separate driver-blocking count job, and the whole
+    # operator remains lazy
     vocab_n = (
-        pairs.select(F.col("prev").alias("wd"))
-        .union(pairs.select(F.col("cur").alias("wd")))
+        c2.select(F.col("prev").alias("wd"))
+        .union(c2.select(F.col("cur").alias("wd")))
         .agg(F.count_distinct("wd").cast("double").alias("__V"))
     )
     model = (
@@ -177,6 +200,5 @@ def ngram_perplexity(
         )
     )
     scored = pairs.join(model, ["prev", "cur"])
-    return scored.groupBy("id").agg(
-        (-F.avg("__lp")).alias("log2_ppl")
-    )
+    per_doc = scored.groupBy("id").agg((-F.avg("__lp")).alias("log2_ppl"))
+    return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")

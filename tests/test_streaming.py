@@ -304,7 +304,14 @@ def test_crash_between_tier_commits_self_heals(spark, tmp_path):
 def _detect_batch_oracle(spark, pdf, mx, mn, plen):
     from pyhydroqc_spark.operators import rules
 
-    df = spark.createDataFrame(pdf, "doc_id string, pos bigint, value double")
+    # NaN in the pandas frame stands for a MISSING value: hand the batch
+    # operators a genuine NULL (Spark's NaN ordering would otherwise call
+    # NaN > max_range true, which is not the missing-value semantics)
+    recs = [
+        (d, int(p), None if pd.isna(v) else float(v))
+        for d, p, v in pdf.itertuples(index=False, name=None)
+    ]
+    df = spark.createDataFrame(recs, "doc_id string, pos bigint, value double")
     out = rules.persistence(
         rules.range_check(df, mx, mn), plen, key="doc_id", order="pos"
     )
@@ -321,7 +328,10 @@ def test_stateful_streaming_detect_matches_batch_across_drains(spark, tmp_path):
     series — with persistence runs deliberately STRADDLING the drain
     boundary — must produce exactly the batch operator's flags on the
     concatenated series. The open-run buffer lives in checkpointed state;
-    a NaN sentinel row per series flushes the final open run."""
+    a row at the reserved flush position per series (out-of-band
+    sentinel) flushes the final open run, and a genuine NULL value mid-
+    series is kept with anomaly=false while breaking the repeat chain —
+    exactly the batch operators' NULL semantics."""
     import numpy as np
     import pandas as pd
 
@@ -339,6 +349,10 @@ def test_stateful_streaming_detect_matches_batch_across_drains(spark, tmp_path):
         vals += list(np.round(rng.normal(0, 3, 12), 1))
         # an out-of-range spike
         vals[10] = 99.0
+        # a genuine missing value INSIDE an equal stretch: 3.3 3.3 NULL
+        # 3.3 3.3 — the NULL must break the chain (no persist group) and
+        # come back as a kept row with anomaly=false
+        vals[20:25] = [3.3, 3.3, float("nan"), 3.3, 3.3]
         rows.extend((f"s{s}", i, float(v)) for i, v in enumerate(vals))
     pdf = pd.DataFrame(rows, columns=["doc_id", "pos", "value"])
 
@@ -347,9 +361,11 @@ def test_stateful_streaming_detect_matches_batch_across_drains(spark, tmp_path):
     spark.createDataFrame(
         pdf[pdf.pos < split], "doc_id string, pos bigint, value double"
     ).write.mode("append").parquet(in_dir)
-    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+    streaming.run_streaming_detect(
+        spark, in_dir, out_dir, MX, MN, PLEN, flush_pos=10_000
+    )
 
-    # second drain: the rest of every series + a NaN flush sentinel
+    # second drain: the rest of every series + an out-of-band flush row
     tail = pdf[pdf.pos >= split].copy()
     sentinels = pd.DataFrame(
         {"doc_id": [f"s{s}" for s in range(6)],
@@ -358,7 +374,9 @@ def test_stateful_streaming_detect_matches_batch_across_drains(spark, tmp_path):
     spark.createDataFrame(
         pd.concat([tail, sentinels]), "doc_id string, pos bigint, value double"
     ).write.mode("append").parquet(in_dir)
-    streaming.run_streaming_detect(spark, in_dir, out_dir, MX, MN, PLEN)
+    streaming.run_streaming_detect(
+        spark, in_dir, out_dir, MX, MN, PLEN, flush_pos=10_000
+    )
 
     got = (
         spark.read.parquet(str(tmp_path / "out" / "flags"))
@@ -377,3 +395,7 @@ def test_stateful_streaming_detect_matches_batch_across_drains(spark, tmp_path):
     assert s0.loc[41:46].all()          # repeats of the long run
     assert not s0.loc[40]               # head of the run is never flagged
     assert not s0.loc[51:52].any()      # short run's repeats unflagged
+    # NULL row kept, unflagged, and it broke the 3.3-chain around it
+    assert not s0.loc[20:24].any()
+    g0 = got[got.doc_id == "s0"].set_index("pos")["value"]
+    assert np.isnan(g0.loc[22])

@@ -1100,7 +1100,9 @@ def test_ngram_perplexity_matches_hand_computation(spark):
     exp2 = -(p_ab + p_ba) / 2
     assert abs(got.loc[1] - exp1) < 1e-9
     assert abs(got.loc[2] - exp2) < 1e-9
-    assert 3 not in got.index  # no bigrams -> no row
+    # <2-word docs have no bigrams: kept with NULL score (left join on
+    # the input ids), not silently dropped
+    assert 3 in got.index and pd.isna(got.loc[3])
     # boilerplate scores LOWER (more predictable) than novel text
     assert got.loc[1] < got.loc[2]
 

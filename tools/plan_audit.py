@@ -228,6 +228,38 @@ def main():
         "only; exact rerank joins ids. pq_topk's full-corpus scan is gone.\n"
     )
 
+    # 9d. ngram_perplexity: the corpus is scanned exactly TWICE — once to
+    # build the (persisted) bigram-count model, once to score. Catalyst
+    # prints plans as trees, so each cached-model reference re-prints the
+    # model subtree (with its Generate) under an InMemoryTableScan; the
+    # regression signal is Generates that are NOT cache-backed. c1 and V
+    # derive from c2, so the r5 shape (5 live corpus passes) must not
+    # come back.
+    from pyhydroqc_spark.textops import quality as _q
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan9d = fmt(_q.ngram_perplexity(docs)).split("\n\n")[0]
+    n_gen = len(re.findall(r"\bGenerate\b", plan9d))
+    n_ims = len(re.findall(r"InMemoryTableScan", plan9d))
+    live = n_gen - n_ims  # each cache ref prints the model's Generate once
+    status9d = (
+        "OK"
+        if live <= 2 and n_ims >= 1 and "CartesianProduct" not in plan9d
+        else f"FAIL: {live} live Generate passes (want <=2, model cached)"
+    )
+    if status9d != "OK":
+        failures.append("ngram_perplexity passes")
+    print(f"{status9d:4.60}  ngram_perplexity (2-pass)", file=sys.stderr)
+    report.append(f"## ngram_perplexity two-pass shape — {status9d}")
+    report.append(
+        f"\n{n_gen} Generate nodes, {n_ims} cache-backed "
+        f"(InMemoryTableScan) → {live} live corpus explode(s) plus the "
+        "one that fills the model cache: the corpus is scanned once to "
+        "count bigrams and once to score; context counts and V derive "
+        "from the persisted bigram table, which is orders of magnitude "
+        "smaller than the corpus.\n"
+    )
+
     # 10. arima_residuals_sql at DEFAULT settings: no persist of the fact
     # table (recompute-by-default; cache_input=True is opt-in)
     audit(
