@@ -25,6 +25,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _spin(_):
+    x = 0
+    for i in range(30_000_000):
+        x += i
+    return x
+
+
+def hardware_probe(n: int) -> float:
+    """Pure-CPU multiprocess spin: what the BOX gives n processes right
+    now, in work-units/sec (same probe as tools/scaling_bench.py). This VM's
+    host contention swings 2-4x between windows; pairing every headline
+    measurement with the hardware's own reading makes a degraded window
+    distinguishable from an engine regression in the recorded artifact."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(_spin, range(n))
+    return n / (time.time() - t0)
+
+
 def build_token_frame(sf: float, n_points_override: int | None):
     from pyhydroqc_spark.datagen import gen_token_table
 
@@ -202,16 +223,25 @@ def main():
         while not os.path.exists(barrier):
             time.sleep(0.05)
 
-    # min of BENCH_REPS runs (default 2): the first full-size pass after
+    # min of BENCH_REPS runs (default 3): the first full-size pass after
     # the (tiny-series) warmup consistently pays ~0.5-0.7s of JIT/allocator
-    # ramp on the big arrays; steady state is what a long-running job sees
-    reps = int(os.environ.get("BENCH_REPS", "2"))
-    walls = []
+    # ramp on the big arrays; steady state is what a long-running job sees.
+    # Each rep is paired with a hardware spin probe (same contention
+    # window), recorded in the artifact — min-of-2 sampled a 2.5-3.9s
+    # spread on this VM and once booked a contention tail as a regression.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    do_probe = os.environ.get("BENCH_PROBE", "1") == "1" and reps >= 2
+    walls, hw_probes = [], []
     for rep in range(max(1, reps)):
+        if do_probe:
+            hw_probes.append(round(hardware_probe(cpus), 3))
         t0 = time.time()
         rolled = run_once(tok)
         walls.append(time.time() - t0)
-        log(f"pipeline rep{rep}: {walls[-1]:.2f}s")
+        log(
+            f"pipeline rep{rep}: {walls[-1]:.2f}s"
+            + (f" (hw probe {hw_probes[-1]:.2f} work/s)" if do_probe else "")
+        )
     t_pipeline = min(walls)
     queries["qc_correct_rollup_pipeline"] = round(t_pipeline, 3)
     pps = n_points / t_pipeline
@@ -272,6 +302,12 @@ def main():
         "points": n_points,
         "rollup_rows": rolled,
         "cpus": cpus,
+        # every headline rep's wall + the paired hardware spin reading
+        # (work-units/sec at `cpus` procs; compare across rounds at the
+        # SAME proc count) — a low probe alongside a high wall marks a
+        # contention window, not an engine regression
+        "pipeline_walls": [round(w, 3) for w in walls],
+        "hw_probe": hw_probes,
     }
     print(json.dumps(out), flush=True)
     spark.stop()
