@@ -410,21 +410,72 @@ def q_jaccard_all(spark, sf_dir):
 
 
 def q_embed_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs, BOTH scale shapes in one gate (r6
+    consolidation): method='lsh' = sign-LSH bucket self-join over FULL
+    vectors (the r2 surface); method='ivfpq' = corpus-vs-corpus pairs
+    found entirely THROUGH the compressed PQ codes (per-cell SDC kernel,
+    no driver collect — the r5 verdict's named gap). The ivfpq corpus
+    plants a deterministic md5-perturbed twin for every 5th vector
+    (cos ≈ 0.99); the SDC threshold finds exactly those twins from
+    8-byte codes before the exact rerank confirms them. Centroids,
+    codebooks (md5-derived, ×0.125 to the normalized sub-block scale),
+    twin noise: all replayed bit-for-bit by the DuckDB oracle."""
+    import numpy as np
+
     from pyhydroqc_spark.textops import ann
 
-    out = ann.cosine_dup_pairs(
-        _emb(spark, sf_dir),
-        threshold=0.35,
-        n_planes=4,
-        n_tables=8,
-        dim=64,
+    emb = _emb(spark, sf_dir)
+    lsh = ann.cosine_dup_pairs(
+        emb, threshold=0.35, n_planes=4, n_tables=8, dim=64,
         plane_source="md5",
     )
-    return out.select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        F.round("cosine", 6).alias("cosine"),
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dup|"), F.col("vec_id").cast("string"),
+                               F.lit("|"), d.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") / F.lit(576460752303423488.0) - F.lit(1.0),
+    )
+    # perturb FIRST, rename after: putting the +100000 alias in the same
+    # select would lateral-alias-resolve the noise seed to the NEW id
+    twins = (
+        base.where(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"), noise, lambda x, nz: x + F.lit(0.03) * nz
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    corpus = base.unionByName(twins)
+    cents = ann.ivf_centroids(64, 16)
+    books = [
+        (np.asarray(b) * 0.125).tolist()
+        for b in ann.pq_codebooks_hash(64, m=8, k=16)
+    ]
+    ivf = ann.ivfpq_dup_pairs(
+        corpus, cents, books, sdc_threshold=0.15, cos_threshold=0.9,
+        n_assign=2,
+    )
+
+    def shape(df, method):
+        return df.select(
+            F.lit(method).alias("method"),
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+
+    return shape(lsh, "lsh").unionByName(shape(ivf, "ivfpq"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -543,19 +594,82 @@ def q_ar11_residuals(spark, sf_dir):
     non-round (0.6137215, 0.2918467): the events values are 2-decimal, so
     round coefficients like (0.6, 0.3) make innovations land EXACTLY on
     rounding half-boundaries where the two engines' float-repr wobble
-    (~1e-13) flips the 6th decimal."""
+    (~1e-13) flips the 6th decimal.
+
+    r6 addition — the EXACT-MLE FIT path is driver-gated too: rows with
+    doc_id 'mle:s0'/'mle:s1' carry the fitted (c, phi..., theta..., nll)
+    of the engine's own Kalman-likelihood ARMA estimator on two frozen
+    ARMA(1,1)/ARMA(2,1) fixtures (pinned RNG seed, deterministic
+    Nelder–Mead). A SQL engine cannot run a Kalman filter, so the oracle
+    holds the literal expected table computed once from the same frozen
+    fixture — value-hash-checked like every other row."""
+    import numpy as np
+    import pandas as pd
+
     from pyhydroqc_spark.operators import detect
 
     df = _events_long(spark, sf_dir).withColumnRenamed("value", "observed")
     out = detect.arima_residuals_fixed(
         df, "observed", model=(0.0, (0.6137215,), (0.2918467,), 1)
     )
-    return out.select(
+    out = out.select(
         "doc_id",
         "pos",
         F.round("residual", 6).alias("residual"),
         F.round("prediction", 6).alias("prediction"),
     )
+
+    def _gen(seed, n, c, phi, theta):
+        rng = np.random.default_rng(seed)
+        e = rng.normal(0, 1.0, n + 50)
+        p, q = len(phi), len(theta)
+        y = np.zeros(n + 50)
+        for t in range(max(p, q), n + 50):
+            y[t] = (
+                c
+                + sum(phi[i] * y[t - 1 - i] for i in range(p))
+                + e[t]
+                + sum(theta[j] * e[t - 1 - j] for j in range(q))
+            )
+        return y[50:]
+
+    fixtures = {
+        "mle:s0": (11, 600, 0.4, (0.6137215,), (0.2918467,)),
+        "mle:s1": (12, 800, 0.0, (0.55, -0.25), (0.35,)),
+    }
+    orders = {k: (len(v[3]), len(v[4])) for k, v in fixtures.items()}
+    frames = [
+        pd.DataFrame(
+            {"doc_id": k, "pos": np.arange(v[1]), "value": _gen(*v)}
+        )
+        for k, v in fixtures.items()
+    ]
+    fix_df = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        "doc_id string, pos bigint, value double",
+    )
+
+    def fit_fn(key, pdf):
+        from pyhydroqc_spark.operators import arima as _a
+
+        y = pdf.sort_values("pos")["value"].to_numpy()
+        p, q = orders[key[0]]
+        cc, ph, th = _a.fit_arma_mle(y, p, q, intercept=True)
+        nll = _a._kalman_neg_loglik(y, cc, np.asarray(ph), np.asarray(th))
+        coefs = [cc, *ph, *th, nll]
+        return pd.DataFrame(
+            {
+                "doc_id": key[0],
+                "pos": np.arange(len(coefs), dtype=np.int64),
+                "residual": [round(float(v), 6) for v in coefs],
+                "prediction": [None] * len(coefs),
+            }
+        )
+
+    mle_rows = fix_df.groupBy("doc_id").applyInPandas(
+        fit_fn, "doc_id string, pos bigint, residual double, prediction double"
+    )
+    return out.unionByName(mle_rows)
 
 
 def q_windowed_detect_counts(spark, sf_dir):
@@ -1618,6 +1732,11 @@ SELECT * FROM out_w UNION ALL SELECT * FROM out_c
 
     # same md5-derived LSH tables as lsh_topk, then exact cosine >= 0.35 on
     # bucket-sharing pairs (a < b)
+    # method='lsh': sign-LSH bucket self-join over full vectors.
+    # method='ivfpq': the corpus (embeddings + md5-perturbed twins for
+    # vec_id%5=0) is IVF-assigned to its 2 nearest md5 centroids, PQ-coded
+    # against the ×0.125 md5 sub-codebooks, same-cell pairs scored by the
+    # symmetric sub-codeword distance table, SDC ≤ 0.15 reranked exactly.
     sql["embed_dup_pairs"] = """
 WITH planes AS (
   SELECT t, p, list_transform(range(0, 64), d ->
@@ -1636,13 +1755,83 @@ WITH planes AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bucketed a JOIN bucketed b
     ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), lsh AS (
+  SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
+    SELECT c.id_a, c.id_b, list_cosine_similarity(ea.e, eb.e) AS cos
+    FROM cand c
+    JOIN emb ea ON ea.vec_id = c.id_a
+    JOIN emb eb ON eb.vec_id = c.id_b
+  ) WHERE cos >= 0.35
+), twin AS (
+  SELECT t.vec_id + 100000 AS vec_id,
+         list_transform(range(0, 64), d -> t.e[CAST(d AS INT) + 1] + 0.03 * (
+           CAST(('0x' || substr(md5('dup|' || CAST(t.vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+             / 576460752303423488.0 - 1.0)) AS e
+  FROM emb t WHERE t.vec_id % 5 = 0
+), corpus AS (
+  SELECT vec_id, e FROM emb UNION ALL SELECT vec_id, e FROM twin
+), icents AS (
+  SELECT c, list_transform(range(0, 64), d ->
+    CAST(('0x' || substr(md5('ivf|' || CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0
+  ) AS cv
+  FROM (SELECT unnest(range(0, 16)) AS c) cs
+), pcents AS (
+  SELECT j, c, list_transform(range(0, 8), dd ->
+    (CAST(('0x' || substr(md5('pq|' || CAST(j AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+          || '|' || CAST(j * 8 + dd AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 576460752303423488.0 - 1.0) * 0.125
+  ) AS cv
+  FROM (SELECT unnest(range(0, 8)) AS j) js
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cs
+), cemb AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+  FROM corpus
+), idists AS (
+  SELECT vec_id, c,
+         list_dot_product(cv, cv) - 2 * list_dot_product(en, cv) AS d
+  FROM cemb CROSS JOIN icents
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, c AS cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM idists) WHERE rn <= 2
+), sub AS (
+  SELECT vec_id, j, list_slice(en, j * 8 + 1, (j + 1) * 8) AS s
+  FROM cemb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+), d2 AS (
+  SELECT sub.vec_id, sub.j, pcents.c,
+         list_dot_product(pcents.cv, pcents.cv) - 2 * list_dot_product(sub.s, pcents.cv) AS d
+  FROM sub JOIN pcents ON pcents.j = sub.j
+), codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d2) WHERE rn = 1
+), cpairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), pcd AS (
+  SELECT a.j, a.c AS ca, b.c AS cb,
+         list_dot_product(a.cv, a.cv) + list_dot_product(b.cv, b.cv)
+           - 2 * list_dot_product(a.cv, b.cv) AS d
+  FROM pcents a JOIN pcents b ON a.j = b.j
+), sdc AS (
+  SELECT p.id_a, p.id_b, SUM(pcd.d) AS sdc
+  FROM cpairs p
+  JOIN codes ca ON ca.vec_id = p.id_a
+  JOIN codes cb ON cb.vec_id = p.id_b AND cb.j = ca.j
+  JOIN pcd ON pcd.j = ca.j AND pcd.ca = ca.code AND pcd.cb = cb.code
+  GROUP BY p.id_a, p.id_b
+), ivfdup AS (
+  SELECT s.id_a, s.id_b, ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cosine
+  FROM sdc s
+  JOIN corpus ea ON ea.vec_id = s.id_a
+  JOIN corpus eb ON eb.vec_id = s.id_b
+  WHERE s.sdc <= 0.15 AND list_cosine_similarity(ea.e, eb.e) >= 0.9
 )
-SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
-  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.e, eb.e) AS cos
-  FROM cand c
-  JOIN emb ea ON ea.vec_id = c.id_a
-  JOIN emb eb ON eb.vec_id = c.id_b
-) WHERE cos >= 0.35
+SELECT 'lsh' AS method, id_a, id_b, cosine FROM lsh
+UNION ALL
+SELECT 'ivfpq' AS method, id_a, id_b, cosine FROM ivfdup
 """
 
     sql["ann_topk"] = """
@@ -1791,6 +1980,21 @@ SELECT d.doc_id, d.pos,
        ROUND(CASE WHEN d.pos = 0 THEN 0.0 ELSE e.e END, 6) AS residual,
        ROUND(CASE WHEN d.pos = 0 THEN d.x ELSE d.x - e.e END, 6) AS prediction
 FROM dif d LEFT JOIN e ON e.doc_id = d.doc_id AND e.pos = d.pos
+UNION ALL
+-- r6 exact-MLE fit contract: literal expected (c, phi..., theta..., nll)
+-- of the engine's Kalman-likelihood ARMA fit on the frozen fixtures
+-- (a SQL engine cannot run the filter; the frozen fit is the oracle)
+SELECT * FROM (VALUES
+  ('mle:s0', CAST(0 AS BIGINT), 0.542363, CAST(NULL AS DOUBLE)),
+  ('mle:s0', CAST(1 AS BIGINT), 0.525323, CAST(NULL AS DOUBLE)),
+  ('mle:s0', CAST(2 AS BIGINT), 0.345585, CAST(NULL AS DOUBLE)),
+  ('mle:s0', CAST(3 AS BIGINT), -10.584617, CAST(NULL AS DOUBLE)),
+  ('mle:s1', CAST(0 AS BIGINT), 0.011439, CAST(NULL AS DOUBLE)),
+  ('mle:s1', CAST(1 AS BIGINT), 0.552255, CAST(NULL AS DOUBLE)),
+  ('mle:s1', CAST(2 AS BIGINT), -0.277896, CAST(NULL AS DOUBLE)),
+  ('mle:s1', CAST(3 AS BIGINT), 0.378288, CAST(NULL AS DOUBLE)),
+  ('mle:s1', CAST(4 AS BIGINT), -9.861965, CAST(NULL AS DOUBLE))
+) v(doc_id, pos, residual, prediction)
 """
 
     # windowed 2-lag OLS head (no intercept, no ridge → Cramer closed form),

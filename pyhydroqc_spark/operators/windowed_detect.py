@@ -94,6 +94,100 @@ def _mlp_predict(X: np.ndarray, t: np.ndarray, seed: int = 7,
     return (H @ W2 + b2) * tsd + tmu
 
 
+def _sigmoid(a: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-a))
+
+
+def _gru_predict(x: np.ndarray, hidden: int = 8, epochs: int = 60,
+                 lr: float = 0.02, seed: int = 7, clip: float = 5.0) -> np.ndarray:
+    """Deterministic scalar-input GRU trained by full-series BPTT — the
+    RECURRENT head (reference: keras LSTM, `modeling_utilities.py:125-351`).
+    Unlike the ridge/MLP heads, which see only the fixed ``time_steps``
+    window, the GRU's hidden state is carried across the WHOLE series:
+    h_t = GRU(h_{t-1}, x_t), pred(x_{t+1}) = w·h_t + b — sequence memory
+    with no lag horizon, the one model family the windowed heads cannot
+    emulate (e.g. a drifting level whose optimal estimate is an EMA over
+    unboundedly many past points). Pinned seed, fixed epochs, full-batch
+    Adam with global-norm clipping: bit-reproducible. Input standardized;
+    returns predictions on the original scale (pred[0] undefined)."""
+    mu, sd = x.mean(), x.std()
+    sd = sd if sd > 1e-12 else 1.0
+    xs = (x - mu) / sd
+    n = len(xs)
+    rng = np.random.default_rng(seed)
+    H = hidden
+    Wz, Wr, Wh = (rng.normal(0, 0.5, H) for _ in range(3))
+    Uz, Ur, Uh = (rng.normal(0, 1.0 / np.sqrt(H), (H, H)) for _ in range(3))
+    # update-gate bias < 0 starts the cell as a slow integrator (the
+    # long-memory regime we want reachable); others at zero
+    bz, br, bh = np.full(H, -1.0), np.zeros(H), np.zeros(H)
+    w = rng.normal(0, 1.0 / np.sqrt(H), H)
+    b = 0.0
+    params = [Wz, Wr, Wh, Uz, Ur, Uh, bz, br, bh, w]
+    mom = [np.zeros_like(p) for p in params] + [0.0]
+    vel = [np.zeros_like(p) for p in params] + [0.0]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    for ep in range(1, epochs + 1):
+        Wz, Wr, Wh, Uz, Ur, Uh, bz, br, bh, w = params
+        zs = np.zeros((n - 1, H)); rs = np.zeros((n - 1, H))
+        hhs = np.zeros((n - 1, H)); hps = np.zeros((n - 1, H))
+        hcur = np.zeros((n - 1, H))
+        h = np.zeros(H)
+        for t in range(n - 1):
+            z = _sigmoid(Wz * xs[t] + Uz @ h + bz)
+            r = _sigmoid(Wr * xs[t] + Ur @ h + br)
+            hh = np.tanh(Wh * xs[t] + Uh @ (r * h) + bh)
+            zs[t], rs[t], hhs[t], hps[t] = z, r, hh, h
+            h = (1 - z) * h + z * hh
+            hcur[t] = h
+        err = hcur @ w + b - xs[1:]
+        loss_n = n - 1
+        gw = hcur.T @ err / loss_n
+        gb = err.mean()
+        gWz = np.zeros(H); gWr = np.zeros(H); gWh = np.zeros(H)
+        gUz = np.zeros((H, H)); gUr = np.zeros((H, H)); gUh = np.zeros((H, H))
+        gbz = np.zeros(H); gbr = np.zeros(H); gbh = np.zeros(H)
+        dh_next = np.zeros(H)
+        for t in range(n - 2, -1, -1):
+            dh = w * err[t] / loss_n + dh_next
+            z, r, hh, hp = zs[t], rs[t], hhs[t], hps[t]
+            dz = dh * (hh - hp); da_z = dz * z * (1 - z)
+            dhh = dh * z; da_h = dhh * (1 - hh * hh)
+            tmp = Uh.T @ da_h
+            dr = tmp * hp; da_r = dr * r * (1 - r)
+            dh_next = dh * (1 - z) + tmp * r + Uz.T @ da_z + Ur.T @ da_r
+            gWz += da_z * xs[t]; gWr += da_r * xs[t]; gWh += da_h * xs[t]
+            gUz += np.outer(da_z, hp); gUr += np.outer(da_r, hp)
+            gUh += np.outer(da_h, r * hp)
+            gbz += da_z; gbr += da_r; gbh += da_h
+        grads = [gWz, gWr, gWh, gUz, gUr, gUh, gbz, gbr, gbh, gw, gb]
+        gn = np.sqrt(sum(float(np.sum(g * g)) for g in grads))
+        if gn > clip:
+            grads = [g * (clip / gn) for g in grads]
+        for i, g in enumerate(grads):
+            mom[i] = b1 * mom[i] + (1 - b1) * g
+            vel[i] = b2 * vel[i] + (1 - b2) * (g * g)
+            mh = mom[i] / (1 - b1 ** ep)
+            vh = vel[i] / (1 - b2 ** ep)
+            upd = lr * mh / (np.sqrt(vh) + eps)
+            if i < 10:
+                params[i] = params[i] - upd
+            else:
+                b = b - upd
+
+    Wz, Wr, Wh, Uz, Ur, Uh, bz, br, bh, w = params
+    pred = np.full(n, np.nan)
+    h = np.zeros(H)
+    for t in range(n - 1):
+        z = _sigmoid(Wz * xs[t] + Uz @ h + bz)
+        r = _sigmoid(Wr * xs[t] + Ur @ h + br)
+        hh = np.tanh(Wh * xs[t] + Uh @ (r * h) + bh)
+        h = (1 - z) * h + z * hh
+        pred[t + 1] = (w @ h + b) * sd + mu
+    return pred
+
+
 def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
                  intercept: bool, head: str = "ridge", seed: int = 7) -> np.ndarray:
     """One series → one-step predictions (NaN on the undefined edges)."""
@@ -111,11 +205,18 @@ def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
         cols += [x[lo + j + 1 : hi + j + 1] for j in range(ts)]  # x_{t+1}..x_{t+ts}
     X = np.column_stack(cols)
     t = x[lo:hi]
+    if head == "gru":
+        # the recurrent head consumes the SERIES, not the windows: full
+        # memory, but keep the same undefined edges as the windowed heads
+        # so downstream alignment is head-agnostic
+        full = _gru_predict(x, seed=seed)
+        pred[lo:hi] = full[lo:hi]
+        return pred
     if head == "mlp":
         pred[lo:hi] = _mlp_predict(X, t, seed=seed)
         return pred
     if head != "ridge":
-        raise ValueError(f"head must be 'ridge' or 'mlp', got {head!r}")
+        raise ValueError(f"head must be 'ridge', 'mlp' or 'gru', got {head!r}")
     if intercept:
         X = np.column_stack([np.ones(len(X)), X])
     XtX = X.T @ X + ridge * np.eye(X.shape[1])

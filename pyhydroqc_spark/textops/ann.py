@@ -688,6 +688,7 @@ def ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encode: str = "raw",
+    n_assign: int = 1,
 ) -> DataFrame:
     """Build the IVFADC index: (id, vector) → (id, cell, codes) in ONE
     Arrow pass — IVF coarse-cell assignment plus PQ sub-codes, both from
@@ -701,6 +702,14 @@ def ivfpq_index(
     budget buys more recall; requires centroids trained in the normalized
     space). ``encode="raw"`` keeps codes independent of the cell so a SQL
     oracle can replay them with the ``pq_codebooks_hash`` recipe.
+
+    ``n_assign > 1`` replicates each vector into its n nearest cells
+    (multi-assignment) — the standard mitigation for IVF's boundary
+    blindness when the index feeds a SELF-join (``ivfpq_dup_pairs``):
+    two near-dups split by a Voronoi boundary still co-occur in some
+    cell as long as their top-n assignments overlap. Index size grows
+    n×; top-k probing should keep n_assign=1 (nprobe on the query side
+    already covers boundaries there).
 
     At 10^9 vectors write the result partitioned BY ``cell`` — the probe
     filter then becomes partition pruning and a query touches only
@@ -726,18 +735,38 @@ def ivfpq_index(
         for pdf in batches:
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            # ||x-c||² argmin == (|c|² - 2 x·c) argmin; argmin ties → lower
-            # cell id (numpy first-hit), matching ORDER BY d, c in SQL
+            # ||x-c||² argmin == (|c|² - 2 x·c) argmin; rank ties → lower
+            # cell id (stable argsort), matching ORDER BY d, c in SQL
             d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
-            cell = d2.argmin(axis=1).astype(np.int32)
-            base = X - cents[cell] if encode == "residual" else X
-            codes = np.empty((len(X), m), dtype=np.int32)
-            for j, bk in enumerate(books):
-                S = base[:, j * sd : (j + 1) * sd]
-                dj = (bk**2).sum(axis=1)[None, :] - 2.0 * (S @ bk.T)
-                codes[:, j] = dj.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "cell": cell, "codes": list(codes)}
+            ranked = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]
+
+            def encode_for(cell):
+                base = X - cents[cell] if encode == "residual" else X
+                codes = np.empty((len(X), m), dtype=np.int32)
+                for j, bk in enumerate(books):
+                    S = base[:, j * sd : (j + 1) * sd]
+                    dj = (bk**2).sum(axis=1)[None, :] - 2.0 * (S @ bk.T)
+                    codes[:, j] = dj.argmin(axis=1)
+                return codes
+
+            frames = []
+            raw_codes = None  # raw codes are cell-independent: encode once
+            for a in range(n_assign):
+                cell = ranked[:, a].astype(np.int32)
+                if encode == "raw":
+                    if raw_codes is None:
+                        raw_codes = encode_for(cell)
+                    codes = raw_codes
+                else:
+                    codes = encode_for(cell)
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: pdf[id_col].values, "cell": cell,
+                         "codes": list(codes)}
+                    )
+                )
+            yield frames[0] if n_assign == 1 else pd.concat(
+                frames, ignore_index=True
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
@@ -890,6 +919,140 @@ def ivfpq_topk(
     ).mapInPandas(score, schema=out_schema)
     return _finish_adc_topk(
         cand, index_df, queries, qids, Qraw, k, refine, full_vectors, id_col, vec_col
+    )
+
+
+def ivfpq_dup_pairs(
+    df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    sdc_threshold: float,
+    cos_threshold: float,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "raw",
+    block: int = 2048,
+) -> DataFrame:
+    """Corpus-vs-corpus embedding near-dup pairs THROUGH the compressed
+    codes — the actual 100 TB dedup shape, where "queries = the whole
+    corpus" and no side can be collected to the driver (``pq_topk``/
+    ``ivfpq_topk`` collect their small query set; ``cosine_dup_pairs``
+    self-joins FULL vectors via sign-LSH). Here the self-join runs over
+    the m-byte PQ codes grouped by IVF cell:
+
+      index (mapInPandas, one Arrow pass, ``n_assign``-way cell
+      replication for Voronoi-boundary recall) → groupBy(cell) →
+      per-cell symmetric-distance kernel: SDC(a,b) = Σ_j
+      T[j, code_a[j], code_b[j]] with T the m×k×k pairwise sub-codeword
+      distance table built ONCE from the broadcast codebooks (driver-tiny,
+      shipped in the task closure) → pairs with SDC ≤ sdc_threshold →
+      groupBy-min dedup of multi-assigned pairs → exact cosine rerank on
+      full vectors joined BY ID → ``cosine ≥ cos_threshold``.
+
+    Scale shape: the only wide edges are the cell repartition of
+    (id, m-byte codes) rows, the pair dedup, and the id-keyed rerank
+    joins — full vectors never cross a shuffle except for the final
+    surviving candidates. Per-cell work is O(n_c²·m) on uint8 codes in
+    row blocks of ``block`` (memory O(block·n_c)); at 10^9 vectors size
+    ``nlist`` ≈ √N so cells stay ~√N and the quadratic term stays flat
+    per cell. For same-cell pairs the centroid term cancels, so the SAME
+    LUT serves ``encode="residual"`` (reconstruction difference is the
+    sub-codeword difference).
+
+    Cites the FAISS IVFADC construction (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011, §V) — SDC
+    variant, self-join form. Reference engine has no ANN surface; this
+    extends the engine's LLM-pipeline dedup family."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    # T[j][a][b] = |a|² + |b|² − 2 a·b, the same algebraic form the SQL
+    # oracle sums, to keep float paths aligned at the threshold boundary
+    lut = np.stack(
+        [
+            (bk**2).sum(axis=1)[:, None]
+            + (bk**2).sum(axis=1)[None, :]
+            - 2.0 * (bk @ bk.T)
+            for bk in books
+        ]
+    )  # (m, k, k)
+
+    idx = ivfpq_index(
+        df, centroids, codebooks, id_col=id_col, vec_col=vec_col,
+        encode=encode, n_assign=n_assign,
+    )
+
+    id_type = df.schema[id_col].dataType
+    pair_schema = StructType(
+        [
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
+            StructField("sdc", DoubleType(), False),
+        ]
+    )
+
+    def cell_pairs(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sdc": []})
+        ids = pdf[id_col].to_numpy()
+        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # id_a < id_b determinism
+        ids, codes = ids[order], codes[order]
+        out_a, out_b, out_d = [], [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            D = lut[0][codes[lo:hi, 0][:, None], codes[:, 0][None, :]]
+            for j in range(1, m):
+                D = D + lut[j][codes[lo:hi, j][:, None], codes[:, j][None, :]]
+            rows, cols = np.nonzero(D <= sdc_threshold)
+            keep = (rows + lo) < cols  # strict upper triangle, global ids
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                out_a.append(ids[rows + lo])
+                out_b.append(ids[cols])
+                out_d.append(D[rows, cols])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sdc": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sdc": np.concatenate(out_d),
+            }
+        )
+
+    # pin parallelism to the cell count: the grouped stage is CPU-heavy
+    # per row but byte-tiny, and AQE would otherwise coalesce it onto a
+    # fraction of the cores (the round-3 coalescing trap)
+    ncells = len(centroids)
+    cand = (
+        idx.repartition(ncells, "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, schema=pair_schema)
+        # multi-assigned pairs co-occur in up to n_assign shared cells:
+        # dedup on the pair key (min SDC — identical for raw encode,
+        # tightest cell's estimate for residual)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("sdc").alias("sdc"))
+    )
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        )
+    )
+    return scored.where(F.col("cosine") >= cos_threshold).select(
+        "id_a", "id_b", "cosine"
     )
 
 

@@ -1086,6 +1086,75 @@ def test_ivfpq_index_partitioned_by_cell_prunes_scan(spark, tmp_path):
     )
 
 
+def test_ivfpq_dup_pairs_corpus_self_join_through_codes(spark):
+    """Corpus-vs-corpus near-dup THROUGH the PQ codes (r6): planted
+    near-identical twins must surface from the per-cell SDC kernel with
+    (a) high recall under 2-way assignment, (b) every emitted pair
+    genuinely above the cosine threshold, (c) output invariant to the
+    kernel's row-block size (the chunking is a memory knob, not a
+    semantics knob), (d) n_assign=2 recall ≥ n_assign=1 (Voronoi-boundary
+    twins need the multi-assignment)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import ann
+
+    rng = np.random.default_rng(37)
+    means = rng.normal(0, 1.0, (8, 32))
+    X = np.repeat(means, 60, axis=0) + rng.normal(0, 0.25, (480, 32))
+    ids = np.arange(480)
+    twin_sel = ids % 6 == 0
+    twins = X[twin_sel] + rng.normal(0, 0.015, (twin_sel.sum(), 32))
+    corpus_X = np.vstack([X, twins])
+    corpus_ids = np.concatenate([ids, ids[twin_sel] + 10_000])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": corpus_ids, "embedding": list(map(list, corpus_X))}
+        ),
+        "vec_id long, embedding array<double>",
+    )
+
+    Xn = corpus_X / np.linalg.norm(corpus_X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    iu = np.triu_indices(len(Xn), 1)
+    truth = {
+        (int(corpus_ids[iu[0][t]]), int(corpus_ids[iu[1][t]]))
+        for t in np.flatnonzero(C[iu] >= 0.97)
+    }
+    truth = {(min(p), max(p)) for p in truth}
+    assert len(truth) >= 60  # the planted twins are the dup population
+
+    dfn = spark.createDataFrame(
+        pd.DataFrame({"vec_id": corpus_ids, "embedding": list(map(list, Xn))}),
+        "vec_id long, embedding array<double>",
+    )
+    cents = ann.train_ivf_centroids(dfn, nlist=8, sample_n=560, seed=5)
+    books = ann.train_pq_codebooks_residual(
+        df, cents, m=4, k=32, sample_n=560, seed=5
+    )
+
+    def run(n_assign, **kw):
+        out = ann.ivfpq_dup_pairs(
+            df, cents, books, sdc_threshold=0.5, cos_threshold=0.97,
+            n_assign=n_assign, encode="residual", **kw,
+        ).toPandas()
+        return {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
+
+    got2 = run(2)
+    # (b) no false positives: the exact rerank guarantees cosine >= 0.97
+    assert got2 <= truth
+    # (a) recall through 4-byte codes
+    recall = len(got2 & truth) / len(truth)
+    assert recall >= 0.85, recall
+
+    # (c) block-size invariance: tiny blocks force the chunked path
+    assert run(2, block=7) == got2
+
+    # (d) multi-assignment covers boundary twins
+    got1 = run(1)
+    assert len(got1 & truth) <= len(got2 & truth)
+
+
 def test_ngram_perplexity_matches_hand_computation(spark):
     """Bigram add-one LM on a 2-doc corpus, hand-computed: V=3,
     P(a→b)=4/6, P(b→a)=P(b→c)=2/5; single-word docs get no row."""

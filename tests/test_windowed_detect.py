@@ -153,3 +153,54 @@ def test_mlp_head_beats_ridge_on_nonlinear_series(spark):
     # unknown head raises
     with pytest.raises(Exception):
         wd.windowed_regression_residuals(df, head="cnn", **kw).count()
+
+
+def test_gru_head_beats_windowed_heads_on_long_memory_series(spark):
+    """r6 recurrent head: a drifting-level series (random-walk level under
+    heavy observation noise) is the canonical LONG-memory task — the
+    Bayes-optimal predictor is a steady-state Kalman/EMA over unboundedly
+    many past points, while any fixed-lag window can only average its
+    ``time_steps`` observations. Both ridge and MLP (window heads) must
+    therefore miss; the full-series GRU (h_t carried across the whole
+    series) must beat them AND land within a few percent of the exact
+    Kalman filter run with the TRUE noise parameters. This is the model
+    family the reference buys with its LSTM (`modeling_utilities.py:
+    125-351`) — sequence memory, not window regression."""
+    rng = np.random.default_rng(3)
+    n, q_sd, r_sd = 2500, 0.03, 0.5
+    level = np.cumsum(rng.normal(0, q_sd, n))
+    x = level + rng.normal(0, r_sd, n)
+    pdf = pd.DataFrame({"doc_id": "s", "pos": np.arange(n), "observed": x})
+    df = spark.createDataFrame(pdf)
+
+    def rmse(out):
+        r = out.toPandas().sort_values("pos")["residual"].to_numpy()
+        return float(np.sqrt(np.nanmean(np.square(r))))
+
+    kw = dict(time_steps=4, mode="vanilla", order_col="pos")
+    r_ridge = rmse(wd.windowed_regression_residuals(df, head="ridge", **kw))
+    r_mlp = rmse(wd.windowed_regression_residuals(df, head="mlp", **kw))
+    r_gru = rmse(wd.windowed_regression_residuals(df, head="gru", **kw))
+
+    # exact Kalman one-step errors with the true (q, r) — the floor a
+    # window model cannot reach
+    mu_hat, Pt, errs = x[0], 1.0, []
+    for i in range(1, n):
+        Pt = Pt + q_sd**2
+        errs.append(x[i] - mu_hat)
+        K = Pt / (Pt + r_sd**2)
+        mu_hat = mu_hat + K * (x[i] - mu_hat)
+        Pt = (1 - K) * Pt
+    r_kalman = float(np.sqrt(np.mean(np.square(errs[3:]))))
+
+    assert r_gru < 0.96 * r_ridge, (r_gru, r_ridge)
+    assert r_gru < 0.96 * r_mlp, (r_gru, r_mlp)
+    assert r_gru < 1.03 * r_kalman, (r_gru, r_kalman)
+
+    # deterministic: a second run is bit-identical
+    a = wd.windowed_regression_residuals(df, head="gru", **kw).toPandas()
+    b = wd.windowed_regression_residuals(df, head="gru", **kw).toPandas()
+    np.testing.assert_array_equal(
+        a.sort_values("pos")["prediction"].to_numpy(),
+        b.sort_values("pos")["prediction"].to_numpy(),
+    )

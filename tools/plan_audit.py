@@ -128,10 +128,15 @@ def main():
         note="candidates come from the probed-cell equi-join.",
     )
     audit(
-        "embed_dup_pairs (near-dup)",
+        "embed_dup_pairs (near-dup, lsh + ivfpq)",
         qs["embed_dup_pairs"](spark, SF_DIR),
+        must=[r"FlatMapGroupsInPandas"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-        note="pairs come from the (table, bucket) self-equi-join.",
+        note="method='lsh': pairs from the (table, bucket) self-equi-join "
+        "over full vectors. method='ivfpq' (r6): corpus-vs-corpus pairs "
+        "entirely through the PQ codes — per-cell grouped SDC kernel "
+        "(the FlatMapGroupsInPandas), id-keyed rerank joins, and NO "
+        "driver-side collect of either side.",
     )
 
     # 6. dedup: one shuffle on the digest, no join at all
