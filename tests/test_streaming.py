@@ -251,6 +251,93 @@ def test_retry_after_interleaved_commit_still_skipped(spark, tmp_path):
     assert cnts == [4]
 
 
+def test_drain_retention_drain_preserves_batch_lineage(spark, tmp_path):
+    """r6: RETENTION between two drains must not break the streaming
+    store's idempotence bookkeeping. drop_partitions commits a snapshot
+    WITHOUT a stream_batch_id and expire_snapshots(keep_last=1) deletes
+    the very manifest that carried it — the high-water mark must survive
+    via the lineage carry-forward, so drain 2 applies exactly once
+    (kept days = one-shot rollup of everything; dropped days come back
+    with exactly drain-2's contribution) and a foreachBatch retry of an
+    already-applied batch is STILL recognized after expiry."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    pdf = gen_token_table(n_series=4, n_tok=800, seed=3)
+    first, second = pdf.iloc[:2], pdf.iloc[2:]
+    spark.createDataFrame(first, schema=_tok_schema()).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir)
+
+    store = SnapshotTable(os.path.join(out_dir, "agg"))
+    days = sorted(
+        r["day"]
+        for r in store.read(spark).select(
+            F.date_format("bucket_start", "yyyy-MM-dd").alias("day")
+        ).distinct().collect()
+    )
+    assert len(days) >= 4
+    cutoff = days[len(days) // 2]
+    # retention: drop aged day-partitions, then expire old snapshots —
+    # the expiry DELETES the manifest that carried stream_batch_id=0
+    store.drop_partitions(lambda d: d >= cutoff)
+    store.expire_snapshots(keep_last=1)
+
+    spark.createDataFrame(second, schema=_tok_schema()).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming.run_streaming_rollup(spark, in_dir, out_dir)
+
+    got = (
+        store.read(spark)
+        .withColumn("day", F.date_format("bucket_start", "yyyy-MM-dd"))
+        .orderBy("doc_id", "bucket_start")
+        .toPandas()
+    )
+
+    def oracle(frame):
+        return (
+            rollup_points(
+                explode_tokens(
+                    spark.createDataFrame(frame, schema=_tok_schema())
+                ),
+                900, value_col="value",
+            )
+            .withColumn("day", F.date_format("bucket_start", "yyyy-MM-dd"))
+            .orderBy("doc_id", "bucket_start")
+            .toPandas()
+        )
+
+    exp_all, exp_second = oracle(pdf), oracle(second)
+    cols = [c for c in exp_all.columns if c != "day"]
+    # kept days: both drains folded exactly once
+    pd.testing.assert_frame_equal(
+        got[got.day >= cutoff][cols].reset_index(drop=True),
+        exp_all[exp_all.day >= cutoff][cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # dropped days: re-materialized by drain 2 alone — no double-count of
+    # drain-1 data (it was aged out), no skip of drain-2 data
+    pd.testing.assert_frame_equal(
+        got[got.day < cutoff][cols].reset_index(drop=True),
+        exp_second[exp_second.day < cutoff][cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # the idempotence high-water mark survived retention + manifest expiry:
+    # a retry of drain 2's batch id (1) must be recognized and skipped
+    batch = explode_tokens(spark.createDataFrame(second, schema=_tok_schema()))
+    assert streaming.merge_batch(
+        batch, 1, os.path.join(out_dir, "agg"), tier_seconds=900
+    ) is False
+    # and the next real batch id still applies
+    assert streaming.merge_batch(
+        batch, 2, os.path.join(out_dir, "agg"), tier_seconds=900
+    ) is True
+
+
 def test_crash_between_tier_commits_self_heals(spark, tmp_path):
     """merge_batch_tiers commits each tier's store separately; a crash
     between tier commits leaves tiers at different stream_batch_ids. On
