@@ -264,6 +264,13 @@ def main():
         "dup_components", "ar11_residuals", "pq_topk",
         # r5: the IVFADC composition (cell-pruned ADC)
         "ivfpq_topk",
+        # r6: corpus-vs-corpus near-dup (lsh over full vectors + ivfpq
+        # through the compressed codes, one consolidated gate). Wall is
+        # candidate-volume-bound BY DESIGN: the gate's cos>=0.35 LSH
+        # threshold is deliberately loose (4 planes -> ~800k candidate
+        # pairs at sf0.1 through the distinct+rerank), exercising the
+        # worst-case rerank path; the ivfpq branch is ~1.7s of it.
+        "embed_dup_pairs",
     ]
     if query_names:
         import __spark_entry__ as entrymod

@@ -327,22 +327,33 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine).
 
-    Candidates = vectors sharing a sign-LSH bucket in ANY table (the same
-    O(candidates) join as ``lsh_topk``, never the n² cross join), then an
-    exact cosine rerank keeps pairs ≥ threshold. ``plane_source="md5"``
+    Candidates = vectors sharing a sign-LSH bucket in ANY table, found by
+    ONE bucket aggregation + in-bucket pair enumeration (the r3 LSH
+    lesson: a self-join of the banded table scans and shuffles the
+    signature subtree twice; groupBy + collect_list + an array-HOF
+    upper-triangle expansion scans it once) — never the n² cross join.
+    Exact cosine rerank keeps pairs ≥ threshold. ``plane_source="md5"``
     makes the candidate set replayable by a SQL oracle."""
     tables = _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source)
     banded = _with_buckets(df, tables, id_col, vec_col, "id")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = (
+        banded.groupBy("table", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # id-only candidates through the bucket join + dedup; vectors re-join
