@@ -539,21 +539,28 @@ def q_token_count(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     """Per-doc text analysis in one gate: text_stats + quality_score +
-    token_count + corpus-trained bigram-LM perplexity (r5) joined on doc
-    id — every component column hash-checked (consolidates three r4
-    gates plus the new statistical quality signal into one slot)."""
+    token_count + corpus-trained bigram-LM perplexity (r5) — every
+    component column hash-checked (consolidates three r4 gates plus the
+    statistical quality signal into one slot). r6: the three projection
+    surfaces come from ONE fused scan (`quality.text_profile`) instead of
+    three scans joined on id; only the perplexity (a genuinely different
+    aggregation shape) still joins."""
     from pyhydroqc_spark.textops import quality
 
+    prof = quality.text_profile(_docs(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("quality", 6).alias("quality"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+    )
     ppl = quality.ngram_perplexity(_docs(spark, sf_dir)).select(
         F.col("id").cast("long").alias("id"),
         F.round("log2_ppl", 6).alias("log2_ppl"),
     )
-    return (
-        q_text_stats(spark, sf_dir)
-        .join(q_quality_score(spark, sf_dir), "id")
-        .join(q_token_count(spark, sf_dir), "id")
-        .join(ppl, "id", "left")
-    )
+    return prof.join(ppl, "id", "left")
 
 
 def q_doc_profile(spark, sf_dir):

@@ -19,11 +19,9 @@ def _words(text_col: str):
     return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
 
 
-def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_words, n_distinct_words, n_chars, avg_word_len)."""
+def _stats_cols(text_col: str) -> list:
     w = _words(text_col)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct_words"),
         F.length(text_col).cast("long").alias("n_chars"),
@@ -31,12 +29,10 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
             / F.size(w)
         ).alias("avg_word_len"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic [0,1] quality score: length band + lexical diversity +
-    alnum ratio (the usual pre-training quality gates)."""
+def _quality_col(text_col: str):
     w = _words(text_col)
     n_chars = F.length(text_col)
     alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
@@ -44,11 +40,45 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     len_ok = F.when((n_chars >= 64) & (n_chars <= 100000), 1.0).otherwise(
         F.least(n_chars / 64.0, F.lit(1.0))
     )
+    return ((len_ok + diversity + alnum / F.greatest(n_chars, F.lit(1))) / 3.0).alias(
+        "quality"
+    )
+
+
+def _token_cols(text_col: str) -> list:
+    w = _words(text_col)
+    pieces = F.array_remove(F.split(F.col(text_col), r"[\s\p{Punct}]+"), "")
+    subword = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.ceil(F.length(x) / 4.0).cast("long"),
+    )
+    return [F.size(w).cast("long").alias("ws_tokens"), subword.alias("bpe_est_tokens")]
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_distinct_words, n_chars, avg_word_len)."""
+    return df.select(F.col(id_col).alias("id"), *_stats_cols(text_col))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic [0,1] quality score: length band + lexical diversity +
+    alnum ratio (the usual pre-training quality gates)."""
+    return df.select(F.col(id_col).alias("id"), _quality_col(text_col))
+
+
+def text_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Every per-doc text-analysis column (stats + quality + token counts)
+    in ONE projection over ONE scan — at corpus scale the separate ops
+    joined on id would re-scan the text column once per surface; this is
+    the fused form pipelines should use."""
     return df.select(
         F.col(id_col).alias("id"),
-        ((len_ok + diversity + alnum / F.greatest(n_chars, F.lit(1))) / 3.0).alias(
-            "quality"
-        ),
+        *_stats_cols(text_col),
+        _quality_col(text_col),
+        *_token_cols(text_col),
     )
 
 
@@ -87,20 +117,7 @@ def token_count(
 ) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (4 chars/token rule +
     punctuation splits — the standard cheap estimator)."""
-    w = _words(text_col)
-    pieces = F.array_remove(
-        F.split(F.col(text_col), r"[\s\p{Punct}]+"), ""
-    )
-    subword = F.aggregate(
-        pieces,
-        F.lit(0).cast("long"),
-        lambda a, x: a + F.ceil(F.length(x) / 4.0).cast("long"),
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.size(w).cast("long").alias("ws_tokens"),
-        subword.alias("bpe_est_tokens"),
-    )
+    return df.select(F.col(id_col).alias("id"), *_token_cols(text_col))
 
 
 def fingerprint(
