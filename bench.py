@@ -113,16 +113,22 @@ def main():
         if os.environ.get("BENCH_SHARDS")
         else ""
     )
+    # balanced series-complete files sized for ~250k points per task: the
+    # fused_cells path then needs NO exchange at all (each row is a whole
+    # series, the kernel is row-independent). Task granularity is the
+    # lever, not files-per-core: at 8M/local[32], 128 × 62k-point tasks
+    # lose ~0.5s of scheduling vs 64 × 125k (measured 2.49 → 1.97s same
+    # window), while at 32M, 64 × 500k-point tasks straggle badly vs
+    # 128 × 250k (13.6 vs 7.0s). Floor of 2 files per core keeps two
+    # straggler-amortizing waves at small sizes.
+    n_files = max(2 * max(cpus, 8), int(round(n_points / 250_000)))
     bench_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench", f"tokens_{n_points}{shard_tag}"
+        os.path.dirname(os.path.abspath(__file__)), ".bench",
+        f"tokens_{n_points}{shard_tag}_f{n_files}",
     )
     if not os.path.exists(bench_dir):
-        # 4 balanced series-complete files per core: the fused_cells path
-        # then needs NO exchange at all (each row is a whole series, the
-        # kernel is row-independent), and stragglers still amortize across
-        # 4 waves — this mirrors an Iceberg table with sane file sizing
         spark.createDataFrame(pdf, schema=schema).repartition(
-            4 * max(cpus, 8), "doc_id"
+            n_files, "doc_id"
         ).write.mode("overwrite").parquet(bench_dir)
     tok = spark.read.parquet(bench_dir)
     params = SeriesParams(
