@@ -247,30 +247,34 @@ def drift_correct(
     `Examples/FindCompareGaps.py:110-120` (event k's start is event k−1's
     end, so corrections must be applied sequentially within a series).
 
-    events_df: (doc_id, start, end, gap) — small; broadcast-joined and the
-    ramps applied inside one per-series pandas pass.
+    events_df: (doc_id, start, end, gap) — small relative to the series.
+    Cogrouped, NOT joined: replicating the event array onto every series
+    row makes Arrow serialize n_rows × n_events nested timestamp structs
+    to the Python worker (measured 45s/35k-row series at 18 events —
+    dominated a real-LRO test); a cogroup ships each side once per group.
     """
-    ev = events_df.groupBy(key).agg(
-        F.sort_array(F.collect_list(F.struct("start", "end", "gap"))).alias("__events")
-    )
-    joined = series_df.join(F.broadcast(ev), on=key, how="left")
     schema = StructType(
         list(series_df.schema.fields) + [StructField(out_col, DoubleType(), True)]
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, ev: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:  # events for a series absent from series_df
+            return pdf.assign(**{out_col: pd.Series(dtype=float)})
         pdf = pdf.sort_values(order).reset_index(drop=True)
         vals = pdf[value_col].to_numpy(dtype=float).copy()
-        events = pdf["__events"].iloc[0]
         ts = pd.DatetimeIndex(pdf[ts_col])
-        if events is not None:
-            for e in events:
-                m = (ts >= e["start"]) & (ts <= e["end"])
-                cnt = int(m.sum())
-                if cnt >= 2:
-                    vals[m] = vals[m] + e["gap"] / (cnt - 1) * np.arange(cnt)
-        out = pdf.drop(columns="__events")
+        # same application order as the former sort_array(struct(start,end,gap))
+        for e in ev.sort_values(["start", "end", "gap"]).itertuples():
+            m = (ts >= e.start) & (ts <= e.end)
+            cnt = int(m.sum())
+            if cnt >= 2:
+                vals[m] = vals[m] + e.gap / (cnt - 1) * np.arange(cnt)
+        out = pdf.copy()
         out[out_col] = vals
         return out
 
-    return joined.groupBy(key).applyInPandas(kernel, schema=schema)
+    return (
+        series_df.groupBy(key)
+        .cogroup(events_df.select(key, "start", "end", "gap").groupBy(key))
+        .applyInPandas(kernel, schema=schema)
+    )
