@@ -78,6 +78,7 @@ def correct_series(
     min_group_len: int = MIN_GROUP_LEN,
     model_limit_days: int = MODEL_LIMIT_DAYS,
     order=None,
+    order_search: str = "grid",
 ):
     """Run the correction loop on one series.
 
@@ -122,13 +123,15 @@ def correct_series(
             pv, pt = vals[pm], ts_i8[pm]
             # pre[last-limit : last] label slice = first index ≥ lower bound
             start = int(np.searchsorted(pt, pt[-1] - limit_ns, side="left"))
-            yfor = forecast_arima(pv[start:], glen, order=order)
+            yfor = forecast_arima(pv[start:], glen, order=order, order_search=order_search)
         if i != gmax:
             qm = agrp == (i + 1)
             qv, qt = vals[qm], ts_i8[qm]
             # post[first : first+limit] label slice = last index ≤ upper bound
             end = int(np.searchsorted(qt, qt[0] + limit_ns, side="right"))
-            ybac = np.flip(forecast_arima(np.flip(qv[:end]), glen, order=order))
+            ybac = np.flip(
+                forecast_arima(np.flip(qv[:end]), glen, order=order, order_search=order_search)
+            )
 
         if yfor is None and ybac is None:
             # whole series anomalous — leave as-is, terminate (see module doc)
@@ -162,6 +165,7 @@ def generate_corrections(
     min_group_len: int = MIN_GROUP_LEN,
     model_limit_days: int = MODEL_LIMIT_DAYS,
     arima_order=None,
+    order_search: str = "grid",
 ) -> DataFrame:
     """Distributed correction: one grouped-map UDF per series.
 
@@ -186,6 +190,7 @@ def generate_corrections(
             min_group_len=min_group_len,
             model_limit_days=model_limit_days,
             order=arima_order,
+            order_search=order_search,
         )
         pdf["det_cor"] = det
         pdf["corrected"] = cor
