@@ -210,6 +210,21 @@ def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
         # memory, but keep the same undefined edges as the windowed heads
         # so downstream alignment is head-agnostic
         full = _gru_predict(x, seed=seed)
+        if mode == "bidir":
+            # reference bidir = keras Bidirectional(LSTM) + Dense
+            # (`modeling_utilities.py:282-351`): a backward pass sees the
+            # future. Same shape here: a second GRU on the reversed
+            # series, then the Dense analog — a least-squares combine of
+            # (1, forward, backward) fitted on the valid range.
+            # Deterministic: both passes share the pinned seed.
+            back = _gru_predict(x[::-1], seed=seed)[::-1]
+            M = np.column_stack(
+                [np.ones(hi - lo), full[lo:hi], back[lo:hi]]
+            )
+            if np.isfinite(M).all():
+                beta = np.linalg.lstsq(M, x[lo:hi], rcond=None)[0]
+                pred[lo:hi] = M @ beta
+                return pred
         pred[lo:hi] = full[lo:hi]
         return pred
     if head == "mlp":

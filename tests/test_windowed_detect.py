@@ -204,3 +204,26 @@ def test_gru_head_beats_windowed_heads_on_long_memory_series(spark):
     np.testing.assert_array_equal(
         wd._gru_predict(xs, epochs=20), wd._gru_predict(xs, epochs=20)
     )
+
+
+def test_bidir_gru_uses_future_context_on_level_shifts():
+    """mode='bidir' + head='gru' = forward + reversed GRU with a learned
+    dense combine (reference: keras Bidirectional(LSTM)+Dense,
+    `modeling_utilities.py:282-351`). On abrupt level shifts the backward
+    pass sees the new level before the forward pass has converged to it,
+    so the bidirectional fit must beat the forward-only one — and stay
+    bit-deterministic."""
+    from pyhydroqc_spark.operators.windowed_detect import _fit_predict
+
+    rng = np.random.default_rng(5)
+    n = 800
+    levels = np.repeat(rng.normal(0, 2.0, 8), n // 8)
+    x = levels + rng.normal(0, 0.25, n)
+    pf = _fit_predict(x, 10, "vanilla", 1e-3, True, head="gru")
+    pb = _fit_predict(x, 10, "bidir", 1e-3, True, head="gru")
+    m = ~np.isnan(pf) & ~np.isnan(pb)
+    rmse_f = float(np.sqrt(np.mean((pf[m] - x[m]) ** 2)))
+    rmse_b = float(np.sqrt(np.mean((pb[m] - x[m]) ** 2)))
+    assert rmse_b < rmse_f - 0.02  # 0.283 vs 0.318 on this fixture
+    pb2 = _fit_predict(x, 10, "bidir", 1e-3, True, head="gru")
+    assert np.array_equal(pb, pb2, equal_nan=True)
