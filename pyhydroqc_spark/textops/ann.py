@@ -44,7 +44,6 @@ def _cosine_rerank(cand: DataFrame, df: DataFrame, id_col: str, vec_col: str) ->
     dropped up front (the HOF path's NULL cosine never passes the
     caller's ``>=`` filter); the threshold filter itself stays JVM-side
     so NaN ordering semantics are untouched."""
-    import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     idt = df.schema[id_col].dataType
@@ -63,27 +62,42 @@ def _cosine_rerank(cand: DataFrame, df: DataFrame, id_col: str, vec_col: str) ->
         ]
     )
 
+    def _mat(col, n):
+        """Arrow list column → (n, dim) float64, zero-copy flat buffer on
+        the uniform-length fast path (a pandas version of this kernel
+        spent more time building 10⁷ per-row ndarray objects than doing
+        the math — GC-bound at 9M pairs)."""
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values).astype(np.float64)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            return vals[offs[0] : offs[-1]].reshape(n, int(widths[0]))
+        dim = int(widths.max()) if len(widths) else 0
+        M = np.zeros((n, dim), dtype=np.float64)
+        for i in range(n):
+            M[i, : widths[i]] = vals[offs[i] : offs[i + 1]]
+        return M
+
     def run(batches):
-        for pdf in batches:
-            n = len(pdf)
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
             if not n:
                 continue
-            dim = 0
-            for col in ("__va", "__vb"):
-                for v in pdf[col].values:
-                    if v is not None and len(v) > dim:
-                        dim = len(v)
-            A = np.zeros((n, dim), dtype=np.float64)
-            B = np.zeros((n, dim), dtype=np.float64)
-            for i, v in enumerate(pdf["__va"].values):
-                if v is not None and len(v):
-                    A[i, : len(v)] = np.asarray(v, dtype=np.float64)
-            for i, v in enumerate(pdf["__vb"].values):
-                if v is not None and len(v):
-                    B[i, : len(v)] = np.asarray(v, dtype=np.float64)
+            A = _mat(rb.column(2), n)
+            B = _mat(rb.column(3), n)
+            dim = max(A.shape[1], B.shape[1])
+            if A.shape[1] < dim:
+                A = np.pad(A, ((0, 0), (0, dim - A.shape[1])))
+            if B.shape[1] < dim:
+                B = np.pad(B, ((0, 0), (0, dim - B.shape[1])))
             dot = np.zeros(n)
             na = np.zeros(n)
             nb = np.zeros(n)
+            # sequential over d: bit-parity with the SQL oracle's
+            # left-to-right fold (zero-padding ≡ zip_with truncation for
+            # the dot, a no-op for the norms)
             for dd in range(dim):
                 a, b = A[:, dd], B[:, dd]
                 dot += a * b
@@ -91,11 +105,12 @@ def _cosine_rerank(cand: DataFrame, df: DataFrame, id_col: str, vec_col: str) ->
                 nb += b * b
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dot / (np.sqrt(na) * np.sqrt(nb))
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"].values, "id_b": pdf["id_b"].values, "cosine": cos}
+            yield pa.record_batch(
+                [rb.column(0), rb.column(1), pa.array(cos, type=pa.float64())],
+                names=["id_a", "id_b", "cosine"],
             )
 
-    return joined.select("id_a", "id_b", "__va", "__vb").mapInPandas(run, schema)
+    return joined.select("id_a", "id_b", "__va", "__vb").mapInArrow(run, schema)
 
 
 def cosine_topk(
