@@ -188,6 +188,91 @@ def _gru_predict(x: np.ndarray, hidden: int = 8, epochs: int = 60,
     return pred
 
 
+def _gru_predict_multi(X: np.ndarray, hidden: int = 8, epochs: int = 60,
+                       lr: float = 0.02, seed: int = 7,
+                       clip: float = 5.0) -> np.ndarray:
+    """Vector-input, n-output GRU — the recurrent analogue of the
+    reference's MULTIVARIATE LSTM (`modeling_utilities.py:354-536`): one
+    shared hidden state reads all of a site's sensors each step,
+    h_t = GRU(h_{t-1}, x_t ∈ R^D), and a linear readout predicts every
+    sensor's next value, x̂_{t+1} = W_o h_t + b_o ∈ R^D. Same training
+    recipe as the scalar head (pinned seed, full-series BPTT, clipped
+    full-batch Adam, slow-integrator update-gate bias): bit-reproducible.
+    Input (n, D) standardized per column; returns (n, D) predictions on
+    the original scale, row 0 undefined."""
+    n, D = X.shape
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd = np.where(sd > 1e-12, sd, 1.0)
+    xs = (X - mu) / sd
+    rng = np.random.default_rng(seed)
+    H = hidden
+    Wz, Wr, Wh = (rng.normal(0, 0.5, (H, D)) for _ in range(3))
+    Uz, Ur, Uh = (rng.normal(0, 1.0 / np.sqrt(H), (H, H)) for _ in range(3))
+    bz, br, bh = np.full(H, -1.0), np.zeros(H), np.zeros(H)
+    Wo = rng.normal(0, 1.0 / np.sqrt(H), (D, H))
+    bo = np.zeros(D)
+    params = [Wz, Wr, Wh, Uz, Ur, Uh, bz, br, bh, Wo, bo]
+    mom = [np.zeros_like(p) for p in params]
+    vel = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    for ep in range(1, epochs + 1):
+        Wz, Wr, Wh, Uz, Ur, Uh, bz, br, bh, Wo, bo = params
+        zs = np.zeros((n - 1, H)); rs = np.zeros((n - 1, H))
+        hhs = np.zeros((n - 1, H)); hps = np.zeros((n - 1, H))
+        hcur = np.zeros((n - 1, H))
+        h = np.zeros(H)
+        for t in range(n - 1):
+            z = _sigmoid(Wz @ xs[t] + Uz @ h + bz)
+            r = _sigmoid(Wr @ xs[t] + Ur @ h + br)
+            hh = np.tanh(Wh @ xs[t] + Uh @ (r * h) + bh)
+            zs[t], rs[t], hhs[t], hps[t] = z, r, hh, h
+            h = (1 - z) * h + z * hh
+            hcur[t] = h
+        err = hcur @ Wo.T + bo - xs[1:]  # (n-1, D)
+        loss_n = (n - 1) * D
+        gWo = err.T @ hcur / loss_n
+        gbo = err.sum(axis=0) / loss_n
+        gWz = np.zeros((H, D)); gWr = np.zeros((H, D)); gWh = np.zeros((H, D))
+        gUz = np.zeros((H, H)); gUr = np.zeros((H, H)); gUh = np.zeros((H, H))
+        gbz = np.zeros(H); gbr = np.zeros(H); gbh = np.zeros(H)
+        dh_next = np.zeros(H)
+        for t in range(n - 2, -1, -1):
+            dh = Wo.T @ err[t] / loss_n + dh_next
+            z, r, hh, hp = zs[t], rs[t], hhs[t], hps[t]
+            dz = dh * (hh - hp); da_z = dz * z * (1 - z)
+            dhh = dh * z; da_h = dhh * (1 - hh * hh)
+            tmp = Uh.T @ da_h
+            dr = tmp * hp; da_r = dr * r * (1 - r)
+            dh_next = dh * (1 - z) + tmp * r + Uz.T @ da_z + Ur.T @ da_r
+            gWz += np.outer(da_z, xs[t]); gWr += np.outer(da_r, xs[t])
+            gWh += np.outer(da_h, xs[t])
+            gUz += np.outer(da_z, hp); gUr += np.outer(da_r, hp)
+            gUh += np.outer(da_h, r * hp)
+            gbz += da_z; gbr += da_r; gbh += da_h
+        grads = [gWz, gWr, gWh, gUz, gUr, gUh, gbz, gbr, gbh, gWo, gbo]
+        gn = np.sqrt(sum(float(np.sum(g * g)) for g in grads))
+        if gn > clip:
+            grads = [g * (clip / gn) for g in grads]
+        for i, g in enumerate(grads):
+            mom[i] = b1 * mom[i] + (1 - b1) * g
+            vel[i] = b2 * vel[i] + (1 - b2) * (g * g)
+            mh = mom[i] / (1 - b1 ** ep)
+            vh = vel[i] / (1 - b2 ** ep)
+            params[i] = params[i] - lr * mh / (np.sqrt(vh) + eps)
+
+    Wz, Wr, Wh, Uz, Ur, Uh, bz, br, bh, Wo, bo = params
+    pred = np.full((n, D), np.nan)
+    h = np.zeros(H)
+    for t in range(n - 1):
+        z = _sigmoid(Wz @ xs[t] + Uz @ h + bz)
+        r = _sigmoid(Wr @ xs[t] + Ur @ h + br)
+        hh = np.tanh(Wh @ xs[t] + Uh @ (r * h) + bh)
+        h = (1 - z) * h + z * hh
+        pred[t + 1] = (Wo @ h + bo) * sd + mu
+    return pred
+
+
 def _fit_predict(x: np.ndarray, time_steps: int, mode: str, ridge: float,
                  intercept: bool, head: str = "ridge", seed: int = 7) -> np.ndarray:
     """One series → one-step predictions (NaN on the undefined edges)."""
@@ -356,13 +441,22 @@ def multivar_regression_residuals(
     site_col: str = "source",
     sensor_col: str = "sensor",
     order_col: str = ORDER_COL,
+    head: str = "ridge",
+    seed: int = 7,
 ) -> DataFrame:
     """Per-site multivariate windowed residuals: all of a site's sensors
     feed one feature block; each sensor gets its own regression head over
     that block (the linear analogue of the reference's n-output LSTM,
-    `modeling_utilities.py:354-536`). Input: long rows keyed by
+    `modeling_utilities.py:354-536`). ``head="gru"`` swaps the windowed
+    ridge for the shared-state recurrent model (``_gru_predict_multi``):
+    one GRU reads all sensors each step and predicts all of them — the
+    actual n-output sequence-model family of the reference; with
+    ``mode="bidir"`` a reversed pass is combined per sensor by least
+    squares (the Dense-merge analog). Input: long rows keyed by
     (site, sensor, pos); the site is the grouping axis — one grouped-map
     Arrow UDF per site, sensors pivoted wide inside the kernel."""
+    if head not in ("ridge", "gru"):
+        raise ValueError(f"head must be 'ridge' or 'gru', got {head!r}")
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -392,7 +486,25 @@ def multivar_regression_residuals(
         # all-missing sensors survive interpolation as all-NaN: exclude
         # them from the feature block and leave their predictions NaN
         finite = [j for j in range(M.shape[1]) if np.isfinite(M[:, j]).all()]
-        if finite and hi - lo >= ts * len(finite) + 2:
+        if head == "gru":
+            if finite and hi - lo >= ts + 2:
+                Mf = M[:, finite]
+                P = _gru_predict_multi(Mf, seed=seed)
+                if mode == "bidir":
+                    Pb = _gru_predict_multi(Mf[::-1], seed=seed)[::-1]
+                    for k, sj in enumerate(finite):
+                        Mk = np.column_stack(
+                            [np.ones(hi - lo), P[lo:hi, k], Pb[lo:hi, k]]
+                        )
+                        if np.isfinite(Mk).all():
+                            beta = np.linalg.lstsq(Mk, Mf[lo:hi, k], rcond=None)[0]
+                            preds[sensors[sj]][lo:hi] = Mk @ beta
+                        else:
+                            preds[sensors[sj]][lo:hi] = P[lo:hi, k]
+                else:
+                    for k, sj in enumerate(finite):
+                        preds[sensors[sj]][lo:hi] = P[lo:hi, k]
+        elif finite and hi - lo >= ts * len(finite) + 2:
             Mf = M[:, finite]
             blocks = [Mf[lo - j - 1 : hi - j - 1, :] for j in range(ts)]
             if mode == "bidir":
@@ -430,10 +542,12 @@ def regression_detect_multivar(
     sensor_col: str = "sensor",
     key: str = SERIES_KEY,
     order_col: str = ORDER_COL,
+    head: str = "ridge",
 ) -> DataFrame:
     """Multivariate workflow (`model_workflow.py:192-317` shape): rules QC,
     then ``multivar_regression_residuals``, then the shared threshold/
-    event chain."""
+    event chain. ``head`` selects ridge or the shared-state recurrent
+    model (see ``multivar_regression_residuals``)."""
     from ..params import DEFAULT_PARAMS
 
     p = params or DEFAULT_PARAMS
@@ -455,6 +569,7 @@ def regression_detect_multivar(
         site_col=site_col,
         sensor_col=sensor_col,
         order_col=order_col,
+        head=head,
     )
     out = dynamic_threshold(
         out,

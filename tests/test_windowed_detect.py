@@ -227,3 +227,41 @@ def test_bidir_gru_uses_future_context_on_level_shifts():
     assert rmse_b < rmse_f - 0.02  # 0.283 vs 0.318 on this fixture
     pb2 = _fit_predict(x, 10, "bidir", 1e-3, True, head="gru")
     assert np.array_equal(pb, pb2, equal_nan=True)
+
+
+def test_multivar_gru_exploits_precise_sibling_sensor(spark):
+    """head='gru' on the multivar surface = ONE shared-state GRU reading
+    all of a site's sensors and predicting all of them (the reference's
+    n-output LSTM family, `modeling_utilities.py:354-536`). Fixture: two
+    sensors track the same random-walk level, s0 noisy (r=0.5), s1
+    precise (r=0.05) — predicting s0 from s1's history beats anything s0
+    alone can do; the univar GRU on s0 cannot reach it. Driven through
+    the Spark multivar workflow end to end."""
+    rng = np.random.default_rng(3)
+    n, q_sd = 1000, 0.08
+    level = np.cumsum(rng.normal(0, q_sd, n))
+    s0 = level + rng.normal(0, 0.5, n)
+    s1 = level + rng.normal(0, 0.05, n)
+    rows = []
+    for s, arr in (("A", s0), ("B", s1)):
+        for i, v in enumerate(arr):
+            rows.append(("site:" + s, "site", s, i, float(v)))
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, sensor string, pos long, observed double"
+    )
+    out = (
+        wd.multivar_regression_residuals(df, time_steps=4, head="gru")
+        .toPandas()
+        .sort_values(["sensor", "pos"])
+    )
+    r0 = out[out["sensor"] == "A"]["residual"].to_numpy()
+    rmse_multi = float(np.sqrt(np.nanmean(np.square(r0))))
+
+    from pyhydroqc_spark.operators.windowed_detect import _gru_predict
+
+    p_scalar = _gru_predict(s0)
+    rmse_scalar = float(np.sqrt(np.nanmean(np.square(p_scalar[1:] - s0[1:]))))
+    # measured 0.506 vs 0.528 (floor ~= s0's own r = 0.5)
+    assert rmse_multi < rmse_scalar - 0.01, (rmse_multi, rmse_scalar)
+    with pytest.raises(ValueError):
+        wd.multivar_regression_residuals(df, head="cnn")
