@@ -146,8 +146,9 @@ def _process_partition(
             total = 0
             for t in tiers_sorted:
                 agg = cells.where(F.col("tier") == t)
-                n = agg.count()
-                tier_tables[t].overwrite_partition(agg, part)
+                # row count rides the parquet footers of the snapshot
+                # write — no separate count() pass over the partition
+                _, n = tier_tables[t].overwrite_partition_counted(agg, part)
                 _commit_tier_blobs(agg, part, t, tier_comp_tables)
                 total += n
             return total
@@ -205,8 +206,9 @@ def _commit_rollups(
         for t in tiers_sorted:
             if t != tiers_sorted[0]:
                 agg = rollup_from_rollup(agg.drop("tier"), t)
-            n = agg.count()
-            tier_tables[t].overwrite_partition(agg, part)
+            # footer-derived count: one execution per tier (the write),
+            # not two
+            _, n = tier_tables[t].overwrite_partition_counted(agg, part)
             _commit_tier_blobs(agg, part, t, tier_comp_tables)
             total += n
         if comp_table is not None:

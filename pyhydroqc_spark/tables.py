@@ -33,6 +33,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_rows(paths: list) -> int:
+    """Total row count of local parquet files from their footers (no scan)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def _manifest_sid(path: str) -> int:
     """Snapshot id from a manifest filename. ``v{sid:05d}.json`` is
     ZERO-PADDED, not fixed-width: past sid 99999 the name widens to six
@@ -104,7 +111,19 @@ class SnapshotTable:
     def overwrite_partition(self, df: DataFrame, partition: str) -> int:
         """Replace all files of one partition (Iceberg replacePartitions /
         MERGE-by-partition analogue) in a single atomic snapshot."""
+        return self._overwrite_with(self._write_files(df, partition), partition)
+
+    def overwrite_partition_counted(self, df: DataFrame, partition: str):
+        """``overwrite_partition`` that also returns the row count, read
+        from the freshly written parquet FOOTERS — zero extra Spark
+        actions. A separate ``df.count()`` re-executes the plan (even a
+        cached one is a second full pass over the partition at scale);
+        the footer metadata is already on disk. Returns (snapshot_id, n)."""
         new_files = self._write_files(df, partition)
+        n = _parquet_rows(new_files)
+        return self._overwrite_with(new_files, partition), n
+
+    def _overwrite_with(self, new_files: list, partition: str) -> int:
         files = {
             fp: p
             for fp, p in self._load(self.current_snapshot_id())["files"].items()
