@@ -6,17 +6,17 @@ batch memory, partition sizing by byte-weight. Codecs (``decode="real"``)
 are REAL for the lib-free formats — P6 PPM, uncompressed 24-bit BMP, and
 8-bit PNG images (PNG via stdlib ``zlib`` + numpy: chunk walk, inflate,
 all five scanline filters, gray/RGB/palette/alpha color types — no PIL)
-with nearest-neighbor resize and 8×8 grayscale features, BASELINE JPEG
-(textops/jpeg.py: Huffman entropy decode, IDCT, chroma upsampling,
-restart markers — pure numpy, no libjpeg), PCM WAV audio (stdlib
-``wave``, 64-bin log-energy spectrum), uncompressed RIFF/AVI video
-(raw-DIB '00db' frames → frame-sampled mean image features), and GIF
-(textops/gif.py: full variable-width LZW + interlacing, pure Python).
-The remaining formats (progressive JPEG, MP3, MJPG/H.264 video) require
-libjpeg/ffmpeg,
-absent from this container: those branches raise NotImplementedError for a
-deployment to swap in. ``decode="fake"`` keeps the deterministic
-content-hash stand-in for plumbing tests.
+with nearest-neighbor resize and 8×8 grayscale features, BASELINE and
+PROGRESSIVE JPEG (textops/jpeg.py: Huffman entropy decode, SOF2
+multi-scan spectral selection + successive approximation, IDCT, chroma
+upsampling, restart markers — pure numpy, no libjpeg), PCM WAV audio
+(stdlib ``wave``, 64-bin log-energy spectrum), uncompressed RIFF/AVI
+video (raw-DIB '00db' frames → frame-sampled mean image features), and
+GIF (textops/gif.py: full variable-width LZW + interlacing, pure Python).
+The remaining formats (MP3, MJPG/H.264 video) require ffmpeg, absent from
+this container: those branches raise NotImplementedError for a deployment
+to swap in. ``decode="fake"`` keeps the deterministic content-hash
+stand-in for plumbing tests.
 
 Schema convention::
 
@@ -393,9 +393,9 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Container-sniffing decode → FEATURE_DIM features. REAL for the
     lib-free formats: P6 PPM / 24-bit BMP / 8-bit PNG (stdlib zlib) /
-    baseline JPEG (pure-numpy Huffman+IDCT) images and PCM WAV audio.
-    Video and the formats that genuinely need ffmpeg (progressive JPEG,
-    MP3, MP4) raise — a deployment swaps those branches in."""
+    baseline + progressive JPEG (pure-numpy Huffman+IDCT) / GIF images,
+    PCM WAV audio, and uncompressed AVI video. The formats that genuinely
+    need ffmpeg (MP3, MP4/H.264) raise — a deployment swaps those in."""
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
     if payload[:2] == b"BM":

@@ -69,14 +69,72 @@ def test_odd_dimensions_pad_and_crop():
     assert got.shape == img.shape
 
 
-def test_progressive_and_garbage_rejected(smooth_img):
+def test_unsupported_process_and_garbage_rejected(smooth_img):
     payload = bytearray(jpeg.encode_jpeg(smooth_img))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
+    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
         jpeg.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg.decode_jpeg(b"\x89PNG1234")
+
+
+def test_progressive_matches_baseline_exactly(smooth_img):
+    """SOF2 six-scan stream (DC first/refine, AC band first scans with EOB
+    runs, AC refinement with correction bits) reconstructs the SAME pixels
+    as the baseline encoding of the same image: both paths carry identical
+    quantized coefficients, so the entropy plumbing must be lossless."""
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_420_and_restarts(smooth_img):
+    """Progressive with subsampled chroma (non-interleaved AC scans cover
+    the component's own block grid) and with restart markers (predictor +
+    EOB-run reset inside every scan kind) — still coefficient-exact vs the
+    matching baseline stream."""
+    for kwargs in (
+        {"subsampling": "420"},
+        {"restart_every": 3},
+        {"subsampling": "420", "restart_every": 2},
+    ):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img, **kwargs))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(smooth_img, progressive=True, **kwargs)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_sparse_high_frequency():
+    """Sparse spiky content forces long zero runs: ZRL chains inside AC
+    first scans, ZRL + buffered correction bits inside refinement scans,
+    and cross-block EOB runs. Noise exercises dense coefficient mixes."""
+    rng = np.random.default_rng(17)
+    img = np.full((48, 64, 3), 128, dtype=np.uint8)
+    ys, xs = rng.integers(0, 48, 40), rng.integers(0, 64, 40)
+    img[ys, xs] = rng.integers(0, 256, (40, 3))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, qscale=2))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, qscale=2, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+
+    noise = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    nb = jpeg.decode_jpeg(jpeg.encode_jpeg(noise))
+    npg = jpeg.decode_jpeg(jpeg.encode_jpeg(noise, progressive=True))
+    np.testing.assert_array_equal(npg, nb)
+
+
+def test_progressive_grayscale_and_odd_dims(smooth_img):
+    g = (smooth_img.astype(float) @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(g))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(g, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+    rng = np.random.default_rng(9)
+    odd = (rng.integers(0, 8, (13, 19, 3)) * 16 + 64).astype(np.uint8)
+    np.testing.assert_array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(odd, progressive=True)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(odd)),
+    )
 
 
 def test_jpeg_through_spark_kernel(spark, smooth_img):

@@ -1,7 +1,14 @@
 """End-to-end pipeline: snapshot tables, checkpointing, resume-equivalence,
-incremental maintenance, retention."""
+incremental maintenance, retention.
+
+The read-only assertions (end-to-end shape, lineage/metrics) and the
+destructive tests (retention, incremental, resume baseline) share ONE
+canonical pipeline run via the module-scoped ``canon`` fixture —
+destructive tests clone its tree (manifests embed absolute paths, so the
+clone rewrites them) instead of paying a fresh multi-stage run each."""
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -47,32 +54,53 @@ def _read_tier(spark, root, tier):
     )
 
 
-def test_pipeline_end_to_end(spark, tmp_path):
-    tmp = str(tmp_path)
+def _clone_tree(src: str, dst: str) -> None:
+    """Copy a pipeline tree and rewrite the absolute paths embedded in
+    snapshot manifests (file-dict keys) and checkpoint lineage strings."""
+    shutil.copytree(src, dst)
+    for dirpath, _dirs, files in os.walk(dst):
+        for name in files:
+            if name.endswith((".json", ".jsonl")):
+                p = os.path.join(dirpath, name)
+                with open(p) as f:
+                    text = f.read()
+                if src in text:
+                    with open(p, "w") as f:
+                        f.write(text.replace(src, dst))
+
+
+@pytest.fixture(scope="module")
+def canon(spark, tmp_path_factory):
+    """The canonical pipeline run: seed-42 input, model detect off,
+    compression on. Five tests assert on (clones of) this one run."""
+    tmp = str(tmp_path_factory.mktemp("canon"))
     tbl, pdf = _input_table(spark, tmp)
-    res = P.run_pipeline(
-        spark, tbl, os.path.join(tmp, "out"), PARAMS,
-        with_model_detect=False, arima_order=(1, 1, 0),
-    )
-    assert res.points_rolled_up > 0
+    out = os.path.join(tmp, "out")
+    res = P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False,
+                         arima_order=(1, 1, 0))
+    return {"tmp": tmp, "out": out, "pdf": pdf, "res": res}
+
+
+def test_pipeline_end_to_end(spark, canon):
+    assert canon["res"].points_rolled_up > 0
     for tier in (900, 3600, 86400):
-        agg = _read_tier(spark, os.path.join(tmp, "out"), tier)
+        agg = _read_tier(spark, canon["out"], tier)
         assert agg is not None and len(agg) > 0
         assert (agg["cnt"] > 0).all()
     # every series surfaces in the finest tier
-    fin = _read_tier(spark, os.path.join(tmp, "out"), 900)
-    assert set(fin["doc_id"]) == set(pdf["doc_id"])
+    fin = _read_tier(spark, canon["out"], 900)
+    assert set(fin["doc_id"]) == set(canon["pdf"]["doc_id"])
     # compressed blobs round-trip row counts
-    comp = SnapshotTable(os.path.join(tmp, "out", "compressed")).read(spark).toPandas()
-    assert set(comp["doc_id"]) == set(pdf["doc_id"])
+    comp = SnapshotTable(os.path.join(canon["out"], "compressed")).read(spark).toPandas()
+    assert set(comp["doc_id"]) == set(canon["pdf"]["doc_id"])
     assert (comp["n_tok"] == 900).all()
 
 
-def test_resume_equivalence(spark, tmp_path):
-    """Killed after 1 partition → rerun → outputs identical to one-shot."""
-    tmp1, tmp2 = str(tmp_path / "a"), str(tmp_path / "b")
+def test_resume_equivalence(spark, canon, tmp_path):
+    """Killed after 1 partition → rerun → outputs identical to one-shot
+    (the canonical run IS the one-shot: same input seed, same params)."""
+    tmp1 = str(tmp_path / "a")
     tbl1, _ = _input_table(spark, tmp1)
-    tbl2, _ = _input_table(spark, tmp2)
 
     out1 = os.path.join(tmp1, "out")
     with pytest.raises(RuntimeError, match="simulated failure"):
@@ -84,21 +112,18 @@ def test_resume_equivalence(spark, tmp_path):
                          arima_order=(1, 1, 0))
     assert len(res.partitions_skipped) == 1  # the finished one was not redone
 
-    out2 = os.path.join(tmp2, "out")
-    P.run_pipeline(spark, tbl2, out2, PARAMS, with_model_detect=False,
-                   arima_order=(1, 1, 0))
     for tier in (900, 3600, 86400):
         a = _read_tier(spark, out1, tier)
-        b = _read_tier(spark, out2, tier)
+        b = _read_tier(spark, canon["out"], tier)
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
 
 
-def test_incremental_new_partition(spark, tmp_path):
-    tmp = str(tmp_path)
-    tbl, pdf = _input_table(spark, tmp)
+def test_incremental_new_partition(spark, canon, tmp_path):
+    tmp = str(tmp_path / "inc")
+    _clone_tree(canon["tmp"], tmp)
+    tbl = SnapshotTable(os.path.join(tmp, "input"))
     out = os.path.join(tmp, "out")
-    P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
-    # second run: nothing new → everything skipped
+    # second run over the finished tree: nothing new → everything skipped
     res2 = P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
     assert not res2.partitions_processed
 
@@ -113,22 +138,16 @@ def test_incremental_new_partition(spark, tmp_path):
     assert "src0:new0" in set(fin["doc_id"])
 
 
-def test_lineage_and_metrics_rows(spark, tmp_path):
-    tmp = str(tmp_path)
-    tbl, _ = _input_table(spark, tmp)
-    out = os.path.join(tmp, "out")
-    P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
-    ck = CheckpointLog(os.path.join(out, "_checkpoints")).read(spark).toPandas()
+def test_lineage_and_metrics_rows(spark, canon):
+    ck = CheckpointLog(os.path.join(canon["out"], "_checkpoints")).read(spark).toPandas()
     assert (ck["status"] == "done").all()
     assert (ck["point_count"] > 0).all()
     assert ck["lineage"].map(lambda s: len(s) > 2).all()  # real file lists
 
 
-def test_retention_sweep(spark, tmp_path):
-    tmp = str(tmp_path)
-    tbl, _ = _input_table(spark, tmp)
-    out = os.path.join(tmp, "out")
-    P.run_pipeline(spark, tbl, out, PARAMS, with_model_detect=False, arima_order=(1, 1, 0))
+def test_retention_sweep(spark, canon, tmp_path):
+    out = str(tmp_path / "out")
+    _clone_tree(canon["out"], out)
     P.retention_sweep(out, keep_pred=lambda p: p != "src0")
     fin = _read_tier(spark, out, 900)
     assert not any(d.startswith("src0") for d in fin["doc_id"])
