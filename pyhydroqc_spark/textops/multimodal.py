@@ -10,10 +10,11 @@ with nearest-neighbor resize and 8×8 grayscale features, BASELINE and
 PROGRESSIVE JPEG (textops/jpeg.py: Huffman entropy decode, SOF2
 multi-scan spectral selection + successive approximation, IDCT, chroma
 upsampling, restart markers — pure numpy, no libjpeg), PCM WAV audio
-(stdlib ``wave``, 64-bin log-energy spectrum), uncompressed RIFF/AVI
-video (raw-DIB '00db' frames → frame-sampled mean image features), and
-GIF (textops/gif.py: full variable-width LZW + interlacing, pure Python).
-The remaining formats (MP3, MJPG/H.264 video) require ffmpeg, absent from
+(stdlib ``wave``, 64-bin log-energy spectrum), RIFF/AVI video — both
+uncompressed (raw-DIB '00db' frames) and motion-JPEG ('00dc' chunks, one
+real JPEG per frame) → frame-sampled mean image features — and GIF
+(textops/gif.py: full variable-width LZW + interlacing, pure Python).
+The remaining formats (MP3, H.264 video) require ffmpeg, absent from
 this container: those branches raise NotImplementedError for a deployment
 to swap in. ``decode="fake"`` keeps the deterministic content-hash
 stand-in for plumbing tests.
@@ -268,12 +269,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(n, h, w, 3) uint8 RGB frames → uncompressed AVI (RIFF, 'DIB '
-    video stream, one '00db' chunk per frame, BGR bottom-up DIB rasters) —
-    the write side of decode_avi; no video libs."""
+def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "DIB") -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → AVI (RIFF). ``codec="DIB"`` writes
+    uncompressed BGR bottom-up rasters in '00db' chunks; ``codec="MJPG"``
+    writes one real baseline JPEG per frame in '00dc' chunks (motion
+    JPEG — textops/jpeg.py is the frame codec). The write side of
+    decode_avi; no video libs."""
     import struct
 
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
     n, h, w = frames.shape[:3]
     stride = (w * 3 + 3) & ~3
 
@@ -289,27 +294,42 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     def lst(fourcc: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", fourcc + data)
 
+    mjpg = codec == "MJPG"
+    if mjpg:
+        from pyhydroqc_spark.textops.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f) for f in frames]
+    else:
+        payloads = [dib(f) for f in frames]
+
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
     )
-    strh = b"vids" + b"DIB " + struct.pack(
+    handler = b"MJPG" if mjpg else b"DIB "
+    strh = b"vids" + handler + struct.pack(
         "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0
     ) + struct.pack("<hhhh", 0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    compression = struct.unpack("<I", b"MJPG")[0] if mjpg else 0
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    tag = b"00dc" if mjpg else b"00db"
+    movi = lst(b"movi", b"".join(chunk(tag, p) for p in payloads))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
-    """Uncompressed AVI ('DIB '/raw '00db' frames) → ((n, h, w, 3) uint8
-    RGB, fps). Pure struct + numpy — compressed codecs inside an AVI
-    (MJPG etc.) raise for the ffmpeg deployment seam."""
+    """AVI → ((n, h, w, 3) uint8 RGB, fps). Uncompressed 'DIB ' ('00db'
+    raw rasters) and motion-JPEG ('00dc' chunks whose payload is a real
+    JPEG — decoded by textops/jpeg.py) streams are REAL; other compressed
+    codecs (H.264 etc.) raise for the ffmpeg deployment seam. Pure
+    struct + numpy."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -331,11 +351,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
                 us_per_frame = vals[0]
                 w, h = vals[8], vals[9]
             elif fourcc in (b"00db", b"00dc"):
-                if fourcc == b"00dc":
-                    raise ValueError(
-                        "compressed AVI stream — deploy ffmpeg for MJPG/H.264"
-                    )
-                frames.append((data_start, size))
+                frames.append((fourcc, data_start, size))
             pos = data_start + size + (size % 2)
 
     walk(12, len(payload))
@@ -343,7 +359,19 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("malformed AVI (missing avih/frames)")
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
-    for i, (off, size) in enumerate(frames):
+    for i, (fourcc, off, size) in enumerate(frames):
+        if fourcc == b"00dc":
+            if payload[off : off + 2] != b"\xff\xd8":
+                raise ValueError(
+                    "non-MJPG compressed AVI stream — deploy ffmpeg for H.264"
+                )
+            from pyhydroqc_spark.textops.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload[off : off + size])
+            if img.shape[:2] != (h, w):
+                raise ValueError("MJPG frame dims disagree with avih header")
+            out[i] = img
+            continue
         if size < stride * h:
             raise ValueError("frame raster too small for declared dims")
         rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)

@@ -753,6 +753,51 @@ def test_avi_roundtrip_and_video_features(spark):
     assert all(len(v) == mm.FEATURE_DIM for v in feats)
 
 
+def test_avi_mjpg_frames_decode_via_jpeg_codec():
+    """codec='MJPG' writes one real baseline JPEG per '00dc' chunk; the
+    decoder routes frames through textops/jpeg.py. Smooth frames come back
+    within JPEG quantization error; header dim mismatch raises."""
+    import numpy as np
+    import pytest
+
+    from pyhydroqc_spark.textops import multimodal as mm
+
+    yy, xx = np.meshgrid(np.arange(16), np.arange(24), indexing="ij")
+    frames = np.stack(
+        [
+            np.stack(
+                [
+                    (128 + 60 * np.sin(yy / 5 + t)).astype(np.uint8),
+                    (128 + 60 * np.cos(xx / 7 + t)).astype(np.uint8),
+                    np.full((16, 24), 90 + 10 * t, dtype=np.uint8),
+                ],
+                axis=-1,
+            )
+            for t in range(4)
+        ]
+    )
+    payload = mm.encode_avi(frames, fps=12, codec="MJPG")
+    dec, fps = mm.decode_avi(payload)
+    assert abs(fps - 12.0) < 0.01 and dec.shape == frames.shape  # 1e6//12 rounds
+    err = np.abs(dec.astype(int) - frames.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+    # features flow through the same video path as raw-DIB clips
+    f_mjpg = mm.video_features(dec)
+    f_raw = mm.video_features(frames)
+    np.testing.assert_allclose(f_mjpg, f_raw, atol=12 / 255)
+
+    # frame dims must agree with the avih header
+    bad = bytearray(payload)
+    i = bad.find(b"avih")
+    # avih width field: 8 dwords after the chunk body start
+    import struct
+
+    struct.pack_into("<I", bad, i + 8 + 32, 999)
+    with pytest.raises(ValueError, match="disagree"):
+        mm.decode_avi(bytes(bad))
+
+
 def test_gif_roundtrip_real_lzw_and_interlace(spark):
     """GIF: (a) palette roundtrip via our encoder; (b) a PROPER LZW stream
     (dictionary growth + code-width bumps, compressed in-test per spec)
