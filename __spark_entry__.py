@@ -1053,15 +1053,20 @@ def q_comp_roundtrip(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction over lib-free payloads: deterministic
-    constant-channel 16×16 images built per document id — P6 PPM (id%5==0),
-    24-bit BMP (id%5==1), 8-bit PNG via the stdlib-zlib codec (id%5==2),
-    an uncompressed AVI clip of two identical frames (id%5==3; clip
-    features = mean over identical frames = the image's features), or a
-    GIF via the pure-Python LZW codec (id%5==4; gray palette ≤256) —
-    through the REAL container-sniffing decode kernels
-    (textops/multimodal.py). With R=G=B=p the grayscale equals p, so
-    features×255 are integers the oracle reproduces in closed form
-    regardless of container format or modality."""
+    constant-channel 16×16 images built per document id — P6 PPM (id%7==0),
+    24-bit BMP (id%7==1), 8-bit PNG via the stdlib-zlib codec (id%7==2),
+    an uncompressed AVI clip of two identical frames (id%7==3; clip
+    features = mean over identical frames = the image's features), a GIF
+    via the pure-Python LZW codec (id%7==4; gray palette ≤256), a
+    PROGRESSIVE JPEG (id%7==5: SOF2 six-scan stream with 4:2:0 chroma and
+    restart markers; the image is spatially CONSTANT at p=(id*31)%256, and
+    constant blocks round-trip the flat-quant JPEG exactly, so even the
+    lossy codec is oracle-exact), or an MJPG AVI (id%7==6: two identical
+    JPEG '00dc' frames, same constant-exactness argument) — through the
+    REAL container-sniffing decode kernels (textops/multimodal.py). With
+    R=G=B=p the grayscale equals p, so features×255 are integers the
+    oracle reproduces in closed form regardless of container format,
+    compression, or modality."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -1084,19 +1089,30 @@ def q_multimodal_features(spark, sf_dir):
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                p = ((int(i) * 31 + yy * 16 + xx * 3) % 256).astype(np.uint8)
-                img = np.stack([p, p, p], axis=-1)
                 from pyhydroqc_spark.textops.gif import encode_gif
+                from pyhydroqc_spark.textops.jpeg import encode_jpeg
 
+                v = int(i) % 7
+                if v >= 5:  # lossy containers get the constant image
+                    p = np.full((16, 16), (int(i) * 31) % 256, dtype=np.uint8)
+                else:
+                    p = ((int(i) * 31 + yy * 16 + xx * 3) % 256).astype(np.uint8)
+                img = np.stack([p, p, p], axis=-1)
                 enc = [
                     multimodal.encode_ppm,
                     multimodal.encode_bmp,
                     multimodal.encode_png,
                     lambda im: multimodal.encode_avi(np.stack([im, im])),
                     encode_gif,
-                ][int(i) % 5]
+                    lambda im: encode_jpeg(
+                        im, progressive=True, subsampling="420", restart_every=2
+                    ),
+                    lambda im: multimodal.encode_avi(
+                        np.stack([im, im]), codec="MJPG"
+                    ),
+                ][v]
                 payload = enc(img)
-                kind = "video" if int(i) % 5 == 3 else "image"
+                kind = "video" if v in (3, 6) else "image"
                 rows.append((str(int(i)), payload, kind))
             yield pd.DataFrame(rows, columns=["media_id", "media", "kind"])
 
@@ -2695,7 +2711,10 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     sql["multimodal_features"] = """
 SELECT CAST(d.doc_id AS BIGINT) AS id,
        CAST(fy.range * 8 + fx.range AS BIGINT) AS fi,
-       CAST((CAST(d.doc_id AS BIGINT) * 31 + (2 * fy.range) * 16 + (2 * fx.range) * 3) % 256 AS BIGINT) AS gval
+       CAST(CASE WHEN CAST(d.doc_id AS BIGINT) % 7 IN (5, 6)
+                 THEN (CAST(d.doc_id AS BIGINT) * 31) % 256
+                 ELSE (CAST(d.doc_id AS BIGINT) * 31 + (2 * fy.range) * 16 + (2 * fx.range) * 3) % 256
+            END AS BIGINT) AS gval
 FROM documents d, range(8) fy, range(8) fx
 """
 
