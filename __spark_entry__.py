@@ -544,10 +544,14 @@ def q_text_quality(spark, sf_dir):
     statistical quality signal into one slot). r6: the three projection
     surfaces come from ONE fused scan (`quality.text_profile`) instead of
     three scans joined on id; only the perplexity (a genuinely different
-    aggregation shape) still joins."""
+    aggregation shape) still joins. r6 late: the Gopher repetition
+    signals join too — top2gram_frac (share of bigram occurrences taken
+    by the most frequent bigram) and dup5gram_frac (share of 5-gram
+    occurrences that repeat within the doc)."""
     from pyhydroqc_spark.textops import quality
 
-    prof = quality.text_profile(_docs(spark, sf_dir)).select(
+    docs = _docs(spark, sf_dir)
+    prof = quality.text_profile(docs).select(
         F.col("id").cast("long").alias("id"),
         F.col("n_words").cast("long").alias("n_words"),
         F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
@@ -556,17 +560,42 @@ def q_text_quality(spark, sf_dir):
         F.round("quality", 6).alias("quality"),
         F.col("ws_tokens").cast("long").alias("ws_tokens"),
     )
-    ppl = quality.ngram_perplexity(_docs(spark, sf_dir)).select(
+    ppl = quality.ngram_perplexity(docs).select(
         F.col("id").cast("long").alias("id"),
         F.round("log2_ppl", 6).alias("log2_ppl"),
     )
-    return prof.join(ppl, "id", "left")
+    top2 = quality.top_ngram_frac(docs, n=2).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("top2gram_frac", 6).alias("top2gram_frac"),
+    )
+    dup5 = quality.dup_ngram_frac(docs, n=5).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("dup5gram_frac", 6).alias("dup5gram_frac"),
+    )
+    return prof.join(ppl, "id", "left").join(top2, "id", "left").join(dup5, "id", "left")
 
 
 def q_doc_profile(spark, sf_dir):
     """Per-doc language-ID + rolling-hash fingerprint in one gate
-    (consolidates the r4 lang_id and fingerprint gates)."""
-    return q_lang_id(spark, sf_dir).join(q_fingerprint(spark, sf_dir), "id")
+    (consolidates the r4 lang_id and fingerprint gates). r6 late:
+    benchmark decontamination joins in — documents sharing any 13-gram
+    (the published GPT-3 setting) with the deterministic benchmark subset
+    (doc_id % 97 == 0) are flagged, grams md5-60-hashed on both sides and
+    the benchmark side broadcast."""
+    from pyhydroqc_spark.textops import quality
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id").cast("long") % 97 == 0)
+    cont = quality.ngram_contamination(docs, bench, n=13).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_shared_13grams").cast("long").alias("n_shared_13grams"),
+        "contaminated",
+    )
+    return (
+        q_lang_id(spark, sf_dir)
+        .join(q_fingerprint(spark, sf_dir), "id")
+        .join(cont, "id")
+    )
 
 
 def q_lang_stats(spark, sf_dir):
@@ -1927,6 +1956,19 @@ WITH s AS (
   JOIN c1 ON c1.prev = bg.prev
   CROSS JOIN vv
   GROUP BY bg.doc_id
+), bgs AS (
+  SELECT doc_id, prev || ' ' || cur AS g FROM bg
+), bgc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bgs GROUP BY doc_id, g
+), top2 AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top2gram_frac FROM bgc GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+         i -> array_to_string(words[i:i+4], ' '))) AS g
+  FROM s WHERE len(words) >= 5
+), dup5 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS dup5gram_frac
+  FROM g5 GROUP BY doc_id
 )
 SELECT s.doc_id AS id,
        CAST(len(words) AS BIGINT) AS n_words,
@@ -1939,8 +1981,12 @@ SELECT s.doc_id AS id,
          + alnum * 1.0 / GREATEST(nc, 1)
        ) / 3.0, 6) AS quality,
        CAST(len(words) AS BIGINT) AS ws_tokens,
-       ROUND(ppl.log2_ppl, 6) AS log2_ppl
+       ROUND(ppl.log2_ppl, 6) AS log2_ppl,
+       ROUND(top2.top2gram_frac, 6) AS top2gram_frac,
+       ROUND(dup5.dup5gram_frac, 6) AS dup5gram_frac
 FROM s LEFT JOIN ppl ON ppl.doc_id = s.doc_id
+LEFT JOIN top2 ON top2.doc_id = s.doc_id
+LEFT JOIN dup5 ON dup5.doc_id = s.doc_id
 """
 
 
@@ -2785,8 +2831,26 @@ SELECT doc_id AS id,
        )) AS fingerprint
 FROM d
 )
-SELECT lp.id, lp.lang_pred, fpr.fingerprint
+SELECT lp.id, lp.lang_pred, fpr.fingerprint,
+       COALESCE(sh.n_shared, 0) AS n_shared_13grams,
+       COALESCE(sh.n_shared, 0) > 0 AS contaminated
 FROM lp JOIN fpr ON fpr.id = lp.id
+LEFT JOIN (
+  WITH wq AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS w
+    FROM documents
+  ), grams AS (
+    SELECT id, unnest(list_transform(range(1, len(w) - 11),
+           i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), 1, 15)) AS BIGINT))) AS gh
+    FROM wq WHERE len(w) >= 13
+  ), bench AS (
+    SELECT DISTINCT gh FROM grams WHERE id % 97 = 0
+  )
+  SELECT g.id, COUNT(DISTINCT g.gh) AS n_shared
+  FROM grams g JOIN bench b ON b.gh = g.gh
+  GROUP BY g.id
+) sh ON sh.id = lp.id
 """
 
     sql["lsh_topk"] = """

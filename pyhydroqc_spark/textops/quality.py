@@ -45,6 +45,18 @@ def _quality_col(text_col: str):
     )
 
 
+def _repetition_cols(text_col: str) -> list:
+    # duplicate-line fraction (Gopher/Dolma): share of non-empty lines
+    # that repeat an earlier line; NULL when the doc has no lines at all
+    lines = F.array_remove(F.split(F.col(text_col), "\n"), "")
+    return [
+        F.when(
+            F.size(lines) > 0,
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+        ).alias("dup_line_frac")
+    ]
+
+
 def _token_cols(text_col: str) -> list:
     w = _words(text_col)
     pieces = F.array_remove(F.split(F.col(text_col), r"[\s\p{Punct}]+"), "")
@@ -79,6 +91,7 @@ def text_profile(
         *_stats_cols(text_col),
         _quality_col(text_col),
         *_token_cols(text_col),
+        *_repetition_cols(text_col),
     )
 
 
@@ -219,3 +232,93 @@ def ngram_perplexity(
     scored = pairs.join(model, ["prev", "cur"])
     per_doc = scored.groupBy("id").agg((-F.avg("__lp")).alias("log2_ppl"))
     return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+
+
+def _gram_df(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram): one row per word n-gram occurrence (grams joined by
+    single spaces, the same ``_words`` tokenization as every other text
+    op). Docs with fewer than n words contribute no rows."""
+    base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+    grams = F.when(
+        F.size("__w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__w, i, {n})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return base.select("id", F.explode(grams).alias("gram"))
+
+
+def top_ngram_frac(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, top{n}gram_frac): the fraction of a document's n-gram
+    occurrences taken by its single most frequent n-gram — the Gopher
+    repetition filter (Rae et al. 2021 use n=2..4; boilerplate and
+    template spam light up). NULL for docs with fewer than n words.
+    Shape: explode → two hash aggregations, no joins until the final
+    id-aligned left join — one corpus pass at any scale."""
+    g = _gram_df(df, n, id_col, text_col)
+    per = g.groupBy("id", "gram").agg(F.count("*").alias("__c"))
+    frac = per.groupBy("id").agg(
+        (F.max("__c") / F.sum("__c")).alias(f"top{n}gram_frac")
+    )
+    return df.select(F.col(id_col).alias("id")).join(frac, "id", "left")
+
+
+def dup_ngram_frac(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup{n}gram_frac): the fraction of a document's n-gram
+    occurrences that are repeats of an n-gram already seen in the same
+    document (1 − distinct/total) — the Gopher duplicate-n-gram family
+    (n=5..10 there). NULL for docs with fewer than n words."""
+    g = _gram_df(df, n, id_col, text_col)
+    agg = g.groupBy("id").agg(
+        (1.0 - F.count_distinct("gram") / F.count("*")).alias(f"dup{n}gram_frac")
+    )
+    return df.select(F.col(id_col).alias("id")).join(agg, "id", "left")
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_shared_{n}grams, contaminated): benchmark decontamination —
+    flag training documents sharing any word n-gram with a benchmark/eval
+    set (n=13 is the published GPT-3 decontamination setting; The Pile
+    uses the same shape). Scale design: the benchmark gram set is tiny
+    against a 100 TB corpus, so both sides hash their grams to 60-bit
+    ints (the portable md5 fold every hash-keyed op here uses) and the
+    benchmark side is BROADCAST — the corpus streams its grams exactly
+    once, no shuffle of the big side. Counts are distinct shared grams
+    per document; docs with fewer than n words are trivially clean."""
+
+    def h(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    gd = _gram_df(df, n, id_col, text_col).select("id", h(F.col("gram")).alias("__gh"))
+    gb = (
+        _gram_df(bench_df, n, id_col, text_col)
+        .select(h(F.col("gram")).alias("__gh"))
+        .distinct()
+    )
+    ncol = f"n_shared_{n}grams"
+    shared = (
+        gd.distinct()
+        .join(F.broadcast(gb), "__gh")
+        .groupBy("id")
+        .agg(F.count("*").alias(ncol))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(shared, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col(ncol), F.lit(0)).alias(ncol),
+            (F.coalesce(F.col(ncol), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1221,6 +1221,70 @@ def test_ngram_perplexity_matches_hand_computation(spark):
     assert got.loc[1] < got.loc[2]
 
 
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition family on planted docs: top2gram_frac = share of
+    the modal bigram, dup5gram_frac = 1 − distinct/total 5-grams,
+    dup_line_frac = share of repeated non-empty lines; short docs NULL."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b a b a b",        # bigrams: ab,ba,ab,ba,ab → top 3/5
+                    "x y z x y z x y",    # 5grams: xyzxy,yzxyz,zxyzx,xyzxy → dup 1/4
+                    "one two three",      # <5 words → dup5 NULL; top2 = 1/2
+                    "ok",                 # <2 words → both NULL
+                ],
+            }
+        )
+    )
+    top2 = quality.top_ngram_frac(df, n=2).toPandas().set_index("id")["top2gram_frac"]
+    assert abs(top2.loc[1] - 3 / 5) < 1e-9
+    assert abs(top2.loc[3] - 1 / 2) < 1e-9
+    assert pd.isna(top2.loc[4])
+    dup5 = quality.dup_ngram_frac(df, n=5).toPandas().set_index("id")["dup5gram_frac"]
+    assert abs(dup5.loc[2] - 1 / 4) < 1e-9
+    assert pd.isna(dup5.loc[3]) and pd.isna(dup5.loc[4])
+
+    lines = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["hdr\nbody\nhdr\n\nhdr", "a\nb"],  # 3×hdr+body → 2/5 dup
+            }
+        )
+    )
+    prof = quality.text_profile(lines).toPandas().set_index("id")
+    assert abs(prof.loc[1, "dup_line_frac"] - 2 / 4) < 1e-9  # 4 non-empty lines
+    assert prof.loc[2, "dup_line_frac"] == 0.0
+
+
+def test_ngram_contamination_flags_benchmark_overlap(spark):
+    """13-gram decontamination: a doc sharing a verbatim 13-gram with the
+    benchmark set is flagged with the right distinct-gram count; disjoint
+    and short docs are clean; the benchmark join side is broadcast."""
+    w = " ".join(f"w{i}" for i in range(20))          # 20 words → 8 13-grams
+    overlap = " ".join(f"w{i}" for i in range(13)) + " zzz qqq"  # shares 1
+    clean = " ".join(f"c{i}" for i in range(30))
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [w, overlap, clean, short]})
+    )
+    bench = df.where(F.col("doc_id") == 1)
+    got = (
+        quality.ngram_contamination(df, bench, n=13)
+        .toPandas().set_index("id").sort_index()
+    )
+    assert bool(got.loc[1, "contaminated"]) and got.loc[1, "n_shared_13grams"] == 8
+    assert bool(got.loc[2, "contaminated"]) and got.loc[2, "n_shared_13grams"] == 1
+    assert not got.loc[3, "contaminated"] and got.loc[3, "n_shared_13grams"] == 0
+    assert not got.loc[4, "contaminated"]
+
+    bench_grams_bcast = quality.ngram_contamination(df, bench, n=13)
+    plan = bench_grams_bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_adc_topk_partition_invariant_under_ties(spark):
     """r5 regression: with duplicated identical vectors (exact ADC ties)
     and a tight refine, pq_topk/ivfpq_topk results must not depend on how
