@@ -581,8 +581,11 @@ def q_doc_profile(spark, sf_dir):
     benchmark decontamination joins in — documents sharing any 13-gram
     (the published GPT-3 setting) with the deterministic benchmark subset
     (doc_id % 97 == 0) are flagged, grams md5-60-hashed on both sides and
-    the benchmark side broadcast."""
-    from pyhydroqc_spark.textops import quality
+    the benchmark side broadcast. r6 late 2: the exact-substring
+    duplication profile (Lee et al. 2022 shape — corpus-wide duplicated
+    12-gram spans, gaps-and-islands merged) joins as three more
+    hash-checked columns."""
+    from pyhydroqc_spark.textops import dedup, quality
 
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id").cast("long") % 97 == 0)
@@ -591,10 +594,17 @@ def q_doc_profile(spark, sf_dir):
         F.col("n_shared_13grams").cast("long").alias("n_shared_13grams"),
         "contaminated",
     )
+    spans = dedup.dup_spans(docs, n=12, hash_fn="md5").select(
+        F.col("id").cast("long").alias("id"),
+        "n_dup_spans",
+        "dup_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+    )
     return (
         q_lang_id(spark, sf_dir)
         .join(q_fingerprint(spark, sf_dir), "id")
         .join(cont, "id")
+        .join(spans, "id")
     )
 
 
@@ -2833,8 +2843,48 @@ FROM d
 )
 SELECT lp.id, lp.lang_pred, fpr.fingerprint,
        COALESCE(sh.n_shared, 0) AS n_shared_13grams,
-       COALESCE(sh.n_shared, 0) > 0 AS contaminated
+       COALESCE(sh.n_shared, 0) > 0 AS contaminated,
+       ds.n_dup_spans, ds.dup_words, ds.dup_word_frac
 FROM lp JOIN fpr ON fpr.id = lp.id
+JOIN (
+  WITH wq AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS w
+    FROM documents
+  ), grams AS (
+    SELECT id, unnest(range(1, len(w) - 10)) AS pos,
+           unnest(list_transform(range(1, len(w) - 10),
+             i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+11], ' ')), 1, 15)) AS BIGINT))) AS gh
+    FROM wq WHERE len(w) >= 12
+  ), dupg AS (
+    SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+  ), mk AS (
+    SELECT g.id, g.pos, g.pos + 11 AS e FROM grams g JOIN dupg USING (gh)
+  ), isl AS (
+    SELECT id, pos, e,
+           CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS st
+    FROM mk
+  ), isl2 AS (
+    SELECT id, pos, e, SUM(st) OVER (PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+    FROM isl
+  ), sp AS (
+    SELECT id, k, MIN(pos) AS s, MAX(e) AS e FROM isl2 GROUP BY id, k
+  ), pdq AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+    FROM sp GROUP BY id
+  )
+  SELECT wq.id,
+         COALESCE(pdq.n_dup_spans, 0) AS n_dup_spans,
+         COALESCE(pdq.dup_words, 0) AS dup_words,
+         CASE WHEN len(wq.w) > 0
+              THEN ROUND(COALESCE(pdq.dup_words, 0) * 1.0 / len(wq.w), 6)
+         END AS dup_word_frac
+  FROM wq LEFT JOIN pdq ON pdq.id = wq.id
+) ds ON ds.id = lp.id
 LEFT JOIN (
   WITH wq AS (
     SELECT CAST(doc_id AS BIGINT) AS id,

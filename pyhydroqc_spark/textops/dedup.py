@@ -674,3 +674,172 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring (duplicated-span) deduplication — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": any text
+# span whose length-n gram appears more than once ANYWHERE in the corpus
+# (cross-doc or within-doc) is a duplicated span; overlapping/contiguous
+# marks merge into maximal spans. The paper operates on 50-BPE-token
+# substrings via a suffix array; the distributed re-expression below is
+# the standard hashed-n-gram variant: identical output marks for every
+# duplication at least n words long, no suffix array required.
+# Engine-added LLM-pipeline operator (no pyhydroqc counterpart).
+# --------------------------------------------------------------------------
+
+
+def dup_spans(
+    df: DataFrame,
+    n: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_words, n_dup_spans, dup_words, dup_word_frac): per-document
+    profile of corpus-wide duplicated substrings.
+
+    A word n-gram occurrence is *marked* when its gram occurs >= 2 times
+    in the whole corpus (including a second time in the same document —
+    the paper's self-repetition case). Marked occurrences cover word
+    span [pos, pos+n-1]; overlapping or contiguous spans merge into
+    islands (gaps-and-islands over a running-max window). Output per doc:
+    island count, words covered, covered fraction (NULL when the doc has
+    no words; 0s when it has no duplicated span).
+
+    Scale (100 TB): the occurrence stream is (id, pos, 60-bit gram hash)
+    — ~20 B/row, never the gram text. The corpus-wide count is a
+    map-side-combined ``groupBy(hash)`` (the shuffle carries at most one
+    row per gram per input partition, so a boilerplate gram that appears
+    a billion times ships one partial per partition, not a billion
+    rows); the join back of the big occurrence stream onto the
+    ``count>=2`` gram set is the one full shuffle, and a hot gram there
+    is an AQE skew-join split, not a straggler. The span-merge window
+    partitions by doc — bounded by document length.
+    """
+    base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+    gram_arr = F.when(
+        F.size("__w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__w, i, {n})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    occ = base.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based start word index
+        _hash64(F.col("gram"), hash_fn).alias("__gh"),
+    )
+    dup_grams = (
+        occ.groupBy("__gh").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2)
+    )
+    marked = occ.join(dup_grams.select("__gh"), "__gh").select(
+        "id", "pos", (F.col("pos") + (n - 1)).alias("end")
+    )
+
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    started = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = (
+        marked.withColumn("__st", started)
+        .withColumn(
+            "__isl",
+            F.sum("__st").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "__isl")
+        .agg(F.min("pos").alias("__s"), F.max("end").alias("__e"))
+    )
+    per_doc = islands.groupBy("id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_words"),
+    )
+
+    nw = base.select("id", F.size("__w").alias("n_words"))
+    return nw.join(per_doc, "id", "left").select(
+        "id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+        F.when(
+            F.col("n_words") > 0,
+            F.coalesce(F.col("dup_words"), F.lit(0)) / F.col("n_words"),
+        ).alias("dup_word_frac"),
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    n: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, clean_text, n_words_kept): rewrite each document with every
+    duplicated span removed (ALL copies — the paper's choice: electing a
+    canonical copy to keep needs cross-partition coordination that buys
+    little, since the span survives nowhere only if it was pure
+    boilerplate). Whitespace between surviving words normalizes to a
+    single space; word order is preserved.
+
+    Plumbing is deliberately all-JVM: covered word positions come from
+    exploding ``sequence(s, e)`` over the merged islands of
+    :func:`dup_spans`'s marking stage, surviving words re-assemble with
+    an ``array_sort(collect_list(struct(pos, word)))`` — no Python in
+    the path, so the rewrite scales exactly like the profile."""
+    base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+    gram_arr = F.when(
+        F.size("__w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__w, i, {n})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    occ = base.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        _hash64(F.col("gram"), hash_fn).alias("__gh"),
+    )
+    dup_grams = (
+        occ.groupBy("__gh").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2)
+    )
+    # rename the covered side's key: both sides descend from `base`, and a
+    # same-name self-lineage join condition resolves to a trivially-true
+    # predicate in some Spark versions
+    covered = (
+        occ.join(dup_grams.select("__gh"), "__gh")
+        .select(
+            F.col("id").alias("__cid"),
+            F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("__cp"),
+        )
+        .distinct()
+    )
+    words = base.select("id", F.posexplode("__w").alias("pos0", "word")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    kept = words.join(
+        covered,
+        (F.col("id") == F.col("__cid")) & (F.col("pos") == F.col("__cp")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_words_kept"),
+    )
+    return (
+        base.select("id")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_words_kept", F.lit(0)).cast("long").alias("n_words_kept"),
+        )
+    )

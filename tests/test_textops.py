@@ -1327,3 +1327,150 @@ def test_adc_topk_partition_invariant_under_ties(spark):
         )
         outs2.append(got[["query_id", "neighbor_id", "rank"]])
     pd.testing.assert_frame_equal(outs2[0], outs2[1])
+
+
+# --------------------------------------------------------------------------
+# exact-substring (duplicated-span) dedup — Lee et al. 2022 shape
+# --------------------------------------------------------------------------
+
+_SPAN_CORPUS = [
+    (1, "a b c d e f"),            # shares (a b c),(b c d) with doc 2
+    (2, "x a b c d y"),
+    (3, "p q r p q r p q"),        # every 3-gram self-repeats -> whole doc
+    (4, "u v w s t r2"),           # unique
+    (5, "m1 m2 m3 m4 m5 m6"),      # [1,3] + [4,6] contiguous -> ONE island
+    (6, "m1 m2 m3 q7"),
+    (7, "m4 m5 m6 q8"),
+    (8, "g1 g2 g3 u0 g4 g5 g6"),   # [1,3] + [5,7] with a gap -> TWO islands
+    (9, "g1 g2 g3 z"),
+    (10, "g4 g5 g6 z2"),
+]
+
+
+def _dup_spans_reference(rows, n):
+    """Pure-Python reference: corpus n-gram counts -> marks -> merged
+    islands, the straight-line transcription of the operator's contract."""
+    grams: dict[tuple, int] = {}
+    words = {i: t.lower().split() for i, t in rows}
+    for i, w in words.items():
+        for p in range(len(w) - n + 1):
+            g = tuple(w[p : p + n])
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for i, w in words.items():
+        spans = [
+            (p + 1, p + n)
+            for p in range(len(w) - n + 1)
+            if grams[tuple(w[p : p + n])] >= 2
+        ]
+        islands: list[list[int]] = []
+        for s, e in spans:
+            if islands and s <= islands[-1][1] + 1:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        dup = sum(e - s + 1 for s, e in islands)
+        out[i] = (len(w), len(islands), dup)
+    return out
+
+
+def test_dup_spans_matches_reference(spark):
+    df = spark.createDataFrame(pd.DataFrame(_SPAN_CORPUS, columns=["doc_id", "text"]))
+    got = {
+        r["id"]: (r["n_words"], r["n_dup_spans"], r["dup_words"], r["dup_word_frac"])
+        for r in dedup.dup_spans(df, n=3).collect()
+    }
+    ref = _dup_spans_reference(_SPAN_CORPUS, 3)
+    assert set(got) == set(ref)
+    for i, (nw, nisl, dup) in ref.items():
+        gnw, gn, gd, gf = got[i]
+        assert (gnw, gn, gd) == (nw, nisl, dup), f"doc {i}"
+        assert gf == pytest.approx(dup / nw)
+    # the structural cases the fixture plants
+    assert got[3][1:3] == (1, 8)      # self-repeats cover the whole doc
+    assert got[4][1:3] == (0, 0)      # clean doc -> zeros, not missing
+    assert got[5][1] == 1             # contiguous spans merge
+    assert got[8][1] == 2             # gapped spans stay separate
+
+
+def test_dup_spans_md5_hash_parity(spark):
+    """The md5-60 oracle hash path marks exactly what xxhash64 marks."""
+    df = spark.createDataFrame(pd.DataFrame(_SPAN_CORPUS, columns=["doc_id", "text"]))
+    a = dedup.dup_spans(df, n=3).orderBy("id").collect()
+    b = dedup.dup_spans(df, n=3, hash_fn="md5").orderBy("id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_strip_dup_spans(spark):
+    df = spark.createDataFrame(pd.DataFrame(_SPAN_CORPUS, columns=["doc_id", "text"]))
+    got = {
+        r["id"]: (r["clean_text"], r["n_words_kept"])
+        for r in dedup.strip_dup_spans(df, n=3).collect()
+    }
+    assert got[1] == ("e f", 2)       # [1,4] removed from a b c d e f
+    assert got[2] == ("x y", 2)
+    assert got[3] == ("", 0)          # fully duplicated doc vanishes
+    assert got[4] == ("u v w s t r2", 6)
+    assert got[5] == ("", 0)
+    assert got[8] == ("u0", 1)
+    # removed + kept = total, per doc, against the profile
+    prof = {r["id"]: r for r in dedup.dup_spans(df, n=3).collect()}
+    for i, (_txt, kept) in got.items():
+        assert kept == prof[i]["n_words"] - prof[i]["dup_words"]
+
+
+def test_dup_spans_real_docs_duckdb_parity(spark, docs):
+    """Full-value parity vs an independent DuckDB transcription on the
+    sf0.001 documents table (the driver gate replays the same shape at
+    sf0.01 inside doc_profile)."""
+    import duckdb
+
+    n = 12
+    got = (
+        dedup.dup_spans(docs, n=n, hash_fn="md5")
+        .select("id", "n_dup_spans", "dup_words")
+        .orderBy("id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    ref = con.execute(f"""
+WITH wq AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS w
+  FROM '{DOCS}'
+), grams AS (
+  SELECT id, unnest(range(1, len(w) - {n - 2})) AS pos,
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+           i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+{n - 1}], ' ')), 1, 15)) AS BIGINT))) AS gh
+  FROM wq WHERE len(w) >= {n}
+), dupg AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+), mk AS (
+  SELECT g.id, g.pos, g.pos + {n - 1} AS e FROM grams g JOIN dupg USING (gh)
+), isl AS (
+  SELECT id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS st
+  FROM mk
+), isl2 AS (
+  SELECT id, pos, e, SUM(st) OVER (PARTITION BY id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM isl
+), sp AS (
+  SELECT id, k, MIN(pos) AS s, MAX(e) AS e FROM isl2 GROUP BY id, k
+), pd AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+  FROM sp GROUP BY id
+)
+SELECT CAST(wq.id AS BIGINT) AS id,
+       COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(pd.dup_words, 0) AS dup_words
+FROM wq LEFT JOIN pd ON pd.id = wq.id
+ORDER BY id
+""").df()
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert got["n_dup_spans"].tolist() == ref["n_dup_spans"].tolist()
+    assert got["dup_words"].tolist() == ref["dup_words"].tolist()
+    assert (got["n_dup_spans"] > 0).any()  # the fixture corpus has real dups

@@ -277,6 +277,42 @@ def main():
         "whole fact table is the wrong default.",
     )
 
+    # 11. dup_spans (exact-substring dedup): the span-merge stage must
+    # REUSE the window's id-partitioning — exactly one shuffle Exchange
+    # feeds the window/island subtree (plus one for the map-side-combined
+    # gram count), the occurrence explode is evaluated at most twice
+    # (count side + mark side — the perplexity-endorsed 2-pass shape),
+    # and both windows share one Sort.
+    from pyhydroqc_spark.textops import dedup as _dedup
+
+    plan11 = fmt(
+        _dedup.dup_spans(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")), n=12
+        )
+    )
+    tree11 = plan11.split("\n\n")[0]
+    n_exch = len(re.findall(r"\(\d+\) Exchange", tree11))
+    n_gen11 = len(re.findall(r"\(\d+\) Generate", tree11))
+    n_sort11 = len(re.findall(r"\(\d+\) Sort\b", tree11))
+    status11 = (
+        "OK"
+        if n_exch <= 2 and n_gen11 <= 2 and n_sort11 <= 1
+        and "CartesianProduct" not in plan11
+        else f"FAIL: {n_exch} Exchanges / {n_gen11} Generates / {n_sort11} Sorts"
+    )
+    if status11 != "OK":
+        failures.append(f"dup_spans shape: {status11}")
+    print(f"{status11:4.60}  dup_spans (substring dedup)", file=sys.stderr)
+    report.append(f"## dup_spans exact-substring dedup shape — {status11}")
+    report.append(
+        f"\n{n_exch} shuffle Exchange(s), {n_gen11} Generate(s), "
+        f"{n_sort11} Sort(s): gram counts partial-aggregate map-side "
+        "before their exchange; the marked-occurrence window and BOTH "
+        "island groupBys run off one id-hash exchange and one sort; the "
+        "dup-gram set joins broadcast at this SF (AQE decides at scale).\n"
+    )
+    report.append("\n```\n" + tree11[:2000] + "\n```\n")
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(report) + "\n")
