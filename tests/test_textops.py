@@ -1474,3 +1474,104 @@ ORDER BY id
     assert got["n_dup_spans"].tolist() == ref["n_dup_spans"].tolist()
     assert got["dup_words"].tolist() == ref["dup_words"].tolist()
     assert (got["n_dup_spans"] > 0).any()  # the fixture corpus has real dups
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer — Sennrich et al. 2016, trained on the corpus
+# --------------------------------------------------------------------------
+
+from pyhydroqc_spark.textops import bpe
+
+
+def _ref_train(word_counts, n_merges):
+    """Independent transcription of the paper's pseudocode: space-joined
+    string keys, re-counted pairs each round, lexicographic tie-break."""
+    vocab = {" ".join(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for word, freq in vocab.items():
+            syms = word.split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        import re as _re
+
+        pat = _re.compile(r"(?<!\S)" + _re.escape(a + " " + b) + r"(?!\S)")
+        vocab = {pat.sub(a + b, w): c for w, c in vocab.items()}
+    return merges
+
+
+def _ref_apply(word, merges):
+    """Paper-order application: each merge in learned order, all sites."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return syms
+
+
+_BPE_CORPUS = [
+    (1, "low low low low low lowest lowest"),
+    (2, "newer newer newer newer newer newer wider wider wider"),
+    (3, "new new lower lower lower"),
+    (4, "the the the the widest of the new low"),
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    df = spark.createDataFrame(pd.DataFrame(_BPE_CORPUS, columns=["doc_id", "text"]))
+    counts = Counter(
+        w for _i, t in _BPE_CORPUS for w in t.lower().split()
+    )
+    got = bpe.train_bpe(df, n_merges=30)
+    want = _ref_train(counts, 30)
+    assert got == want
+    assert len(got) >= 10  # the fixture genuinely trains double-digit rules
+
+
+def test_bpe_apply_matches_reference_and_reconstructs(spark):
+    df = spark.createDataFrame(pd.DataFrame(_BPE_CORPUS, columns=["doc_id", "text"]))
+    merges = bpe.train_bpe(df, n_merges=30)
+    out = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(df, merges, emit_tokens=True).collect()
+    }
+    for i, text in _BPE_CORPUS:
+        toks = out[i]
+        # greedy-rank application == paper-order application
+        want = [s for w in text.lower().split() for s in _ref_apply(w, merges)]
+        assert toks == want, f"doc {i}"
+        # lossless: stripping the end-of-word markers reconstructs the text
+        assert "".join(toks).replace("</w>", " ").strip() == text.lower()
+
+
+def test_bpe_determinism_and_real_docs(spark, docs):
+    m1 = bpe.train_bpe(docs, n_merges=50)
+    m2 = bpe.train_bpe(docs, n_merges=50)
+    assert m1 == m2 and len(m1) == 50
+    enc = bpe.bpe_encode(docs, m1).toPandas()
+    prof = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.size(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("nw"),
+        F.length(F.lower("text")).alias("nc"),
+    ).toPandas()
+    j = enc.merge(prof, on="id")
+    assert len(j) == len(prof)
+    # every word is at least one token; never more tokens than chars+words
+    assert (j["n_bpe_tokens"] >= j["nw"]).all()
+    assert (j["n_bpe_tokens"] <= j["nc"] + j["nw"]).all()
+    # training did compress: fewer tokens than raw character count
+    assert j["n_bpe_tokens"].sum() < j["nc"].sum()
