@@ -277,6 +277,9 @@ def main():
         # pairs at sf0.1 through the distinct+rerank), exercising the
         # worst-case rerank path; the ivfpq branch is ~1.7s of it.
         "embed_dup_pairs",
+        # r6 late: exact-substring dedup joins the doc_profile gate
+        # (dup_spans mark-merge + lang-id + fingerprint + decontamination)
+        "doc_profile",
     ]
     if query_names:
         import __spark_entry__ as entrymod

@@ -689,6 +689,36 @@ def simhash_candidates(
 # --------------------------------------------------------------------------
 
 
+def _marked_spans(
+    df: DataFrame, n: int, id_col: str, text_col: str, hash_fn: str
+):
+    """Shared marking stage: returns (base, marked) where base = (id, __w)
+    and marked = (id, pos, end), one row per n-gram occurrence whose gram
+    appears >= 2 times corpus-wide. One explode pass: the corpus-wide
+    count is a window count over the gram-hash partition (no ORDER BY —
+    an unbounded-frame count), so the occurrence subtree is never
+    evaluated twice."""
+    base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+    gram_arr = F.when(
+        F.size("__w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__w, i, {n})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    occ = base.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based start word index
+        _hash64(F.col("gram"), hash_fn).alias("__gh"),
+    )
+    marked = (
+        occ.withColumn("__c", F.count("*").over(Window.partitionBy("__gh")))
+        .where(F.col("__c") >= 2)
+        .select("id", "pos", (F.col("pos") + (n - 1)).alias("end"))
+    )
+    return base, marked
+
+
 def dup_spans(
     df: DataFrame,
     n: int = 12,
@@ -708,35 +738,20 @@ def dup_spans(
     no words; 0s when it has no duplicated span).
 
     Scale (100 TB): the occurrence stream is (id, pos, 60-bit gram hash)
-    — ~20 B/row, never the gram text. The corpus-wide count is a
-    map-side-combined ``groupBy(hash)`` (the shuffle carries at most one
-    row per gram per input partition, so a boilerplate gram that appears
-    a billion times ships one partial per partition, not a billion
-    rows); the join back of the big occurrence stream onto the
-    ``count>=2`` gram set is the one full shuffle, and a hot gram there
-    is an AQE skew-join split, not a straggler. The span-merge window
-    partitions by doc — bounded by document length.
+    — ~20 B/row, never the gram text. Corpus-wide counting is a window
+    count over the gram-hash partition, so the expensive
+    explode+gram-hash subtree is evaluated ONCE: a first version counted
+    via map-side-combined ``groupBy(hash)`` + join, but that re-evaluates
+    the explode for each side (two full corpus passes, measured 2×3-4s of
+    the 11s wall at 200k docs), and at real scale the dup-gram set
+    outgrows a broadcast so the big side gets shuffled by hash anyway —
+    identical shuffle + skew exposure, one fewer corpus pass. A
+    boilerplate gram concentrates its rows on one count partition either
+    way; the count-only window streams them (sort-spill) rather than
+    materializing anything per gram. The span-merge window partitions by
+    doc — bounded by document length.
     """
-    base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
-    gram_arr = F.when(
-        F.size("__w") >= n,
-        F.expr(
-            f"transform(sequence(1, size(__w) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(__w, i, {n})))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-
-    occ = base.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
-        "id",
-        (F.col("pos0") + 1).alias("pos"),  # 1-based start word index
-        _hash64(F.col("gram"), hash_fn).alias("__gh"),
-    )
-    dup_grams = (
-        occ.groupBy("__gh").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2)
-    )
-    marked = occ.join(dup_grams.select("__gh"), "__gh").select(
-        "id", "pos", (F.col("pos") + (n - 1)).alias("end")
-    )
+    _base, marked = _marked_spans(df, n, id_col, text_col, hash_fn)
 
     w_ord = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max("end").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
@@ -757,7 +772,7 @@ def dup_spans(
         F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_words"),
     )
 
-    nw = base.select("id", F.size("__w").alias("n_words"))
+    nw = _base.select("id", F.size("__w").alias("n_words"))
     return nw.join(per_doc, "id", "left").select(
         "id",
         F.col("n_words").cast("long").alias("n_words"),
@@ -789,30 +804,14 @@ def strip_dup_spans(
     :func:`dup_spans`'s marking stage, surviving words re-assemble with
     an ``array_sort(collect_list(struct(pos, word)))`` — no Python in
     the path, so the rewrite scales exactly like the profile."""
-    base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
-    gram_arr = F.when(
-        F.size("__w") >= n,
-        F.expr(
-            f"transform(sequence(1, size(__w) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(__w, i, {n})))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    occ = base.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
-        "id",
-        (F.col("pos0") + 1).alias("pos"),
-        _hash64(F.col("gram"), hash_fn).alias("__gh"),
-    )
-    dup_grams = (
-        occ.groupBy("__gh").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2)
-    )
+    base, marked = _marked_spans(df, n, id_col, text_col, hash_fn)
     # rename the covered side's key: both sides descend from `base`, and a
     # same-name self-lineage join condition resolves to a trivially-true
     # predicate in some Spark versions
     covered = (
-        occ.join(dup_grams.select("__gh"), "__gh")
-        .select(
+        marked.select(
             F.col("id").alias("__cid"),
-            F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("__cp"),
+            F.explode(F.sequence("pos", "end")).alias("__cp"),
         )
         .distinct()
     )

@@ -88,6 +88,9 @@ def jobs_for(frame):
         "simhash_pairs": lambda: dedup.simhash_candidates(
             dedup.simhash(frame, bits=64), max_hamming=3
         ),
+        # exact-substring dedup; the >0 filter keeps count() honest (it
+        # forces the mark-merge subtree instead of the join-eliminated spine)
+        "dup_spans": lambda: dedup.dup_spans(frame).where("dup_words > 0"),
     }
 
 # codegen warmup on a slice
@@ -162,10 +165,12 @@ def main():
         "is noise; the CPU-heavy LSH ops are the scaling signal (minhash",
         "tracks the probe ceiling).",
         "",
-        "All four are single-shuffle shapes (hash-groupBy or band-bucket",
-        "aggregation + in-bucket enumeration); none self-joins the raw",
-        "corpus, so the work per executor stays O(docs/executors) at any",
-        "cluster size.",
+        "The hash/LSH ops are single-shuffle shapes (hash-groupBy or",
+        "band-bucket aggregation + in-bucket enumeration); dup_spans is a",
+        "two-shuffle shape (map-side-combined gram count, then one id-hash",
+        "exchange shared by the span-merge window and both island",
+        "aggregations — plan-audited). None self-joins the raw corpus, so",
+        "the work per executor stays O(docs/executors) at any cluster size.",
     ]
     out = os.path.join(REPO, "BENCH", "TEXTOPS.md")
     # preserve the deep-dive sections other tools appended (simhash 1M,
