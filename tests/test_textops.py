@@ -1575,3 +1575,100 @@ def test_bpe_determinism_and_real_docs(spark, docs):
     assert (j["n_bpe_tokens"] <= j["nc"] + j["nw"]).all()
     # training did compress: fewer tokens than raw character count
     assert j["n_bpe_tokens"].sum() < j["nc"].sum()
+
+
+# --------------------------------------------------------------------------
+# C4-style cleaning — Raffel et al. 2020 rules
+# --------------------------------------------------------------------------
+
+from pyhydroqc_spark.textops import clean as c4
+
+
+_C4_CORPUS = [
+    (1, "This is a good sentence.\nshort one\nAnother fine line stays here!\nno punct line at all"),
+    (2, "Duplicate boilerplate line appears twice.\nUnique second doc content is kept."),
+    (3, "Duplicate boilerplate line appears twice.\nSome other good sentence survives here."),
+    (4, "This page mentions lorem ipsum somewhere.\nEven good lines die with the page."),
+    (5, "function() { return 1; }\nA perfectly good sentence dies with the brace."),
+    (6, "Enable javascript to view this page.\nThe non-js line is long enough to stay."),
+    (7, 'A line ending in a quote stays."\nDoes a question stay?\nExcited line stays!'),
+]
+
+
+def test_c4_clean_rules(spark):
+    df = spark.createDataFrame(pd.DataFrame(_C4_CORPUS, columns=["doc_id", "text"]))
+    got = {r["id"]: r for r in c4.c4_clean(df).collect()}
+    # line rules: terminal punctuation + >=3 words
+    assert got[1]["clean_text"] == "This is a good sentence.\nAnother fine line stays here!"
+    assert got[1]["n_lines_kept"] == 2 and not got[1]["doc_dropped"]
+    # corpus-level keep-one: doc 2 (lower id) keeps the boilerplate line
+    assert got[2]["clean_text"].startswith("Duplicate boilerplate line")
+    assert got[3]["clean_text"] == "Some other good sentence survives here."
+    # page-level drops
+    assert got[4]["doc_dropped"] and got[4]["clean_text"] == "" and got[4]["n_lines_kept"] == 0
+    assert got[5]["doc_dropped"] and got[5]["clean_text"] == ""
+    # javascript line rule (page survives)
+    assert got[6]["clean_text"] == "The non-js line is long enough to stay."
+    assert not got[6]["doc_dropped"]
+    # quote/question/exclamation all count as terminal punctuation
+    assert got[7]["n_lines_kept"] == 3
+
+
+def test_c4_clean_no_dedup_keeps_both(spark):
+    df = spark.createDataFrame(pd.DataFrame(_C4_CORPUS, columns=["doc_id", "text"]))
+    got = {r["id"]: r for r in c4.c4_clean(df, dedup_lines=False).collect()}
+    assert got[3]["clean_text"].startswith("Duplicate boilerplate line")
+    assert got[3]["n_lines_kept"] == 2
+
+
+def test_c4_clean_duckdb_parity(spark):
+    """Independent DuckDB transcription of the full rule set, including
+    the keep-one election by smallest (id, pos)."""
+    import duckdb
+
+    df = spark.createDataFrame(pd.DataFrame(_C4_CORPUS, columns=["doc_id", "text"]))
+    got = (
+        c4.c4_clean(df, hash_fn="md5")
+        .orderBy("id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(_C4_CORPUS, columns=["doc_id", "text"]))
+    ref = con.execute(r"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text,
+         (lower(text) LIKE '%lorem ipsum%' OR lower(text) LIKE '%{%') AS bad
+  FROM docs
+), lines AS (
+  SELECT id, bad,
+         unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+         trim(unnest(string_split(text, chr(10)))) AS l
+  FROM base
+), kept AS (
+  SELECT id, pos, l FROM lines
+  WHERE NOT bad
+    AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x != '')) >= 3
+    AND regexp_matches(lower(l), '[.!?"]$')
+    AND lower(l) NOT LIKE '%javascript%'
+), elect AS (
+  SELECT id, pos, l,
+         MIN(id * 1048576 + pos) OVER (
+           PARTITION BY CAST(('0x' || substr(md5(lower(l)), 1, 15)) AS BIGINT)
+         ) AS mk
+  FROM kept
+), surv AS (
+  SELECT id, pos, l FROM elect WHERE id * 1048576 + pos = mk
+), reb AS (
+  SELECT id, string_agg(l, chr(10) ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+  FROM surv GROUP BY id
+)
+SELECT b.id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept, b.bad AS doc_dropped
+FROM base b LEFT JOIN reb r ON r.id = b.id
+ORDER BY b.id
+""").df()
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert got["clean_text"].tolist() == ref["clean_text"].tolist()
+    assert got["n_lines_kept"].tolist() == ref["n_lines_kept"].tolist()
+    assert got["doc_dropped"].tolist() == ref["doc_dropped"].tolist()
