@@ -1672,3 +1672,55 @@ ORDER BY b.id
     assert got["clean_text"].tolist() == ref["clean_text"].tolist()
     assert got["n_lines_kept"].tolist() == ref["n_lines_kept"].tolist()
     assert got["doc_dropped"].tolist() == ref["doc_dropped"].tolist()
+
+
+# --------------------------------------------------------------------------
+# Gopher document-quality filter — Rae et al. 2021 Appendix A rules
+# --------------------------------------------------------------------------
+
+
+def test_gopher_filter_rules(spark):
+    # varied body: every content word is indexed, so no bigram or 5-gram
+    # ever repeats — passes the repetition rules by construction
+    good_body = " ".join(
+        f"the quick{i} and brown{i} of fox{i} that jumped{i} have "
+        f"landed{i} with grace{i} to rest{i} be calm{i}"
+        for i in range(8)
+    )
+    rows = [
+        (1, good_body),                                        # passes all
+        (2, "too short to matter the and of"),                 # word_count
+        (3, " ".join(["the", "and", "of", "to"] + ["a"] * 96)),# avg_word_len low
+        (4, good_body + " " + "#" * 40),                       # symbol_ratio (one extra word)
+        (5, "\n".join(["- the bullet point is here today now"] * 10)),  # bullet_lines
+        (6, good_body + " waiting... for more"),               # no fail: ellipsis mid-line
+        (7, " ".join(["123", "456"] * 40) + " the and of"),    # alpha_words
+        (8, " ".join(["w%d" % i for i in range(120)])),        # stopwords (alpha ok)
+        (9, "spam ham " * 50),                                 # top2gram + dup5gram
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["id"]: (r["keep"], list(r["fail_reasons"])) for r in
+           quality.gopher_filter(df).collect()}
+    assert got[1] == (True, [])
+    assert got[2][0] is False and "word_count" in got[2][1]
+    assert "avg_word_len" in got[3][1]
+    assert "symbol_ratio" in got[4][1]
+    assert "bullet_lines" in got[5][1]
+    assert got[6][0] is True
+    assert "alpha_words" in got[7][1]
+    assert "stopwords" in got[8][1]
+    assert "top2gram" in got[9][1] and "dup5gram" in got[9][1]
+
+
+def test_gopher_filter_real_docs(spark, docs):
+    out = quality.gopher_filter(docs).toPandas()
+    assert len(out) == docs.count()
+    # synthetic docs: 48-553 chars of lowercase vocab words, no English
+    # stopwords beyond chance — every doc must carry a reasons array and
+    # the keep decision must equal "no reasons"
+    assert (out["keep"] == (out["fail_reasons"].str.len() == 0)).all()
+    reasons = set(r for rs in out["fail_reasons"] for r in rs)
+    assert reasons.issubset({
+        "word_count", "avg_word_len", "symbol_ratio", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "stopwords", "top2gram", "dup5gram",
+    })
