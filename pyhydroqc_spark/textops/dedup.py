@@ -690,31 +690,87 @@ def simhash_candidates(
 
 
 def _marked_spans(
-    df: DataFrame, n: int, id_col: str, text_col: str, hash_fn: str
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    hash_fn: str,
+    skew_guard: bool = True,
+    guard_pct: int = 1,
+    guard_min_count: int = 8,
 ):
     """Shared marking stage: returns (base, marked) where base = (id, __w)
     and marked = (id, pos, end), one row per n-gram occurrence whose gram
-    appears >= 2 times corpus-wide. One explode pass: the corpus-wide
-    count is a window count over the gram-hash partition (no ORDER BY —
-    an unbounded-frame count), so the occurrence subtree is never
-    evaluated twice."""
+    appears >= 2 times corpus-wide. One full explode pass: the
+    corpus-wide count is a window count over the gram-hash partition (no
+    ORDER BY — an unbounded-frame count), so the occurrence subtree is
+    never evaluated twice.
+
+    Hot-gram skew guard (default on, the jaccard hot-token pattern): a
+    boilerplate gram with 10^9 occurrences would put 10^9 rows on one
+    count partition. A deterministic ``guard_pct``% doc sample is
+    exploded (a pct-sized pass) and grams seen >= ``guard_min_count``
+    times in it form a broadcast hot set. The shortcut is EXACT, not
+    approximate: the sample is a subset of the corpus, so sample count
+    >= 2 proves corpus count >= 2 — a hot occurrence is marked by the
+    flag alone, so its window partition key is SALTED (id mod 64): the
+    hot gram's rows spread across 64 count partitions whose (now
+    meaningless) counts are never consulted, while cold grams keep salt
+    0 and their exact count. One corpus pass either way — a first cut
+    that split hot/cold into a union made Catalyst re-expand the explode
+    AND the sample subtree per branch (two corpus passes; the same
+    plan-reference re-expansion the perplexity rewrite fixed). Output is
+    identical with the guard on or off."""
     base = df.select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
-    gram_arr = F.when(
-        F.size("__w") >= n,
-        F.expr(
-            f"transform(sequence(1, size(__w) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(__w, i, {n})))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    occ = base.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
-        "id",
-        (F.col("pos0") + 1).alias("pos"),  # 1-based start word index
-        _hash64(F.col("gram"), hash_fn).alias("__gh"),
+
+    def occurrences(src):
+        gram_arr = F.when(
+            F.size("__w") >= n,
+            F.expr(
+                f"transform(sequence(1, size(__w) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(__w, i, {n})))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        return src.select("id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
+            "id",
+            (F.col("pos0") + 1).alias("pos"),  # 1-based start word index
+            _hash64(F.col("gram"), hash_fn).alias("__gh"),
+        )
+
+    occ = occurrences(base)
+    span = lambda rows: rows.select(  # noqa: E731
+        "id", "pos", (F.col("pos") + (n - 1)).alias("end")
     )
-    marked = (
-        occ.withColumn("__c", F.count("*").over(Window.partitionBy("__gh")))
-        .where(F.col("__c") >= 2)
-        .select("id", "pos", (F.col("pos") + (n - 1)).alias("end"))
+
+    if skew_guard:
+        samp = base.where(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1315423911)), F.lit(100))
+            < guard_pct
+        )
+        hot = (
+            occurrences(samp)
+            .groupBy("__gh")
+            .agg(F.count("*").alias("__hc"))
+            .where(F.col("__hc") >= max(2, guard_min_count))
+            .select("__gh", F.lit(True).alias("__hot"))
+        )
+        flagged = occ.join(F.broadcast(hot), "__gh", "left").withColumn(
+            "__salt",
+            F.when(F.col("__hot"), F.pmod(F.col("id"), F.lit(64))).otherwise(
+                F.lit(0)
+            ),
+        )
+        marked = span(
+            flagged.withColumn(
+                "__c", F.count("*").over(Window.partitionBy("__gh", "__salt"))
+            ).where(F.coalesce(F.col("__hot"), F.lit(False)) | (F.col("__c") >= 2))
+        )
+        return base, marked
+
+    marked = span(
+        occ.withColumn("__c", F.count("*").over(Window.partitionBy("__gh"))).where(
+            F.col("__c") >= 2
+        )
     )
     return base, marked
 
@@ -725,6 +781,7 @@ def dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    skew_guard: bool = True,
 ) -> DataFrame:
     """(id, n_words, n_dup_spans, dup_words, dup_word_frac): per-document
     profile of corpus-wide duplicated substrings.
@@ -751,7 +808,7 @@ def dup_spans(
     materializing anything per gram. The span-merge window partitions by
     doc — bounded by document length.
     """
-    _base, marked = _marked_spans(df, n, id_col, text_col, hash_fn)
+    _base, marked = _marked_spans(df, n, id_col, text_col, hash_fn, skew_guard)
 
     w_ord = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max("end").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
@@ -791,6 +848,7 @@ def strip_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    skew_guard: bool = True,
 ) -> DataFrame:
     """(id, clean_text, n_words_kept): rewrite each document with every
     duplicated span removed (ALL copies — the paper's choice: electing a
@@ -804,7 +862,7 @@ def strip_dup_spans(
     :func:`dup_spans`'s marking stage, surviving words re-assemble with
     an ``array_sort(collect_list(struct(pos, word)))`` — no Python in
     the path, so the rewrite scales exactly like the profile."""
-    base, marked = _marked_spans(df, n, id_col, text_col, hash_fn)
+    base, marked = _marked_spans(df, n, id_col, text_col, hash_fn, skew_guard)
     # rename the covered side's key: both sides descend from `base`, and a
     # same-name self-lineage join condition resolves to a trivially-true
     # predicate in some Spark versions

@@ -1724,3 +1724,26 @@ def test_gopher_filter_real_docs(spark, docs):
         "word_count", "avg_word_len", "symbol_ratio", "bullet_lines",
         "ellipsis_lines", "alpha_words", "stopwords", "top2gram", "dup5gram",
     })
+
+
+def test_dup_spans_skew_guard_invariance(spark, docs):
+    """The hot-gram guard is an exact shortcut: output identical on/off,
+    including on a planted ultra-hot boilerplate gram."""
+    boiler = " ".join(f"b{i}" for i in range(12))
+    hotdocs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(400)),
+                "text": [
+                    boiler + f" filler{i} mid{i} " + boiler for i in range(400)
+                ],
+            }
+        )
+    )
+    for frame in (docs, hotdocs):
+        on = dedup.dup_spans(frame, n=12, skew_guard=True).orderBy("id").collect()
+        off = dedup.dup_spans(frame, n=12, skew_guard=False).orderBy("id").collect()
+        assert [tuple(r) for r in on] == [tuple(r) for r in off]
+    # the boilerplate corpus really is all-hot: every doc fully covered
+    prof = dedup.dup_spans(hotdocs, n=12).toPandas()
+    assert (prof["n_dup_spans"] >= 1).all()
