@@ -584,10 +584,43 @@ def q_doc_profile(spark, sf_dir):
     the benchmark side broadcast. r6 late 2: the exact-substring
     duplication profile (Lee et al. 2022 shape — corpus-wide duplicated
     12-gram spans, gaps-and-islands merged) joins as three more
-    hash-checked columns."""
-    from pyhydroqc_spark.textops import dedup, quality
+    hash-checked columns. r6 late 3: the PII scrub (textops/pii.py) joins
+    — the synthetic corpus carries no PII, so the gate PLANTS it
+    deterministically (emails/IPs/phones/SSNs keyed on doc_id residues,
+    constructed identically in both engines) and verifies the per-family
+    match counts plus an md5-60 hash of the fully REDACTED text, so the
+    oracle checks the rewrite byte-for-byte, not just the counts."""
+    from pyhydroqc_spark.textops import dedup, pii, quality
 
     docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    planted = docs.select(
+        did.alias("id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."), (did % 256).cast("string"), F.lit(".0.1 up")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" call +1 555 010 4242")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    piic = pii.pii_counts(planted, id_col="id", text_col="text")
+    redh = pii.redact(planted, id_col="id", text_col="text").select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("redacted")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("redacted_h"),
+    )
     bench = docs.where(F.col("doc_id").cast("long") % 97 == 0)
     cont = quality.ngram_contamination(docs, bench, n=13).select(
         F.col("id").cast("long").alias("id"),
@@ -605,17 +638,57 @@ def q_doc_profile(spark, sf_dir):
         .join(q_fingerprint(spark, sf_dir), "id")
         .join(cont, "id")
         .join(spans, "id")
+        .join(piic, "id")
+        .join(redh, "id")
     )
 
 
 def q_lang_stats(spark, sf_dir):
-    return (
-        _docs(spark, sf_dir)
+    """Per-language corpus stats + the three deterministic sampling /
+    data-mixture surfaces (r6 late: textops/sample.py): hash-Bernoulli
+    sample, stratified per-group quota, and token-budget mixture fill.
+    Each selection is verified by its per-lang doc count AND an id-sum
+    checksum — the checksum pins the exact selected SET, not just its
+    size, so the oracle catches a wrong-but-right-sized selection. The
+    quota/budget paths run with the scale prefilter ON (the u-threshold
+    candidate cut + validated fallback), so the gate also proves the
+    prefilter is output-invariant vs the plain row_number/window oracle."""
+    from pyhydroqc_spark.textops import sample
+
+    docs = _docs(spark, sf_dir)
+    base = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    samp = (
+        sample.hash_sample(docs, 0.2, seed="gate")
         .groupBy("lang")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.count("*").alias("samp_docs"),
+            F.sum("doc_id").alias("samp_id_sum"),
         )
+    )
+    quota = (
+        sample.stratified_sample(docs, 40, group_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("quota_docs"),
+            F.sum("doc_id").alias("quota_id_sum"),
+        )
+    )
+    bud = (
+        sample.token_budget_sample(docs, 50000.0, "n_chars", group_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("budget_docs"),
+            F.sum("n_chars").alias("budget_chars"),
+            F.sum("doc_id").alias("budget_id_sum"),
+        )
+    )
+    return (
+        base.join(samp, "lang", "left")
+        .join(quota, "lang", "left")
+        .join(bud, "lang", "left")
     )
 
 
@@ -2001,9 +2074,49 @@ LEFT JOIN dup5 ON dup5.doc_id = s.doc_id
 
 
 
+    # u = md5-60(doc_id|seed)/2^60 — the engine's deterministic sampling
+    # draw, replayed literally; quota = 40 smallest-u per lang; budget =
+    # greedy u-order prefix while chars consumed before the doc < 50000
     sql["lang_stats"] = """
-SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
-FROM documents GROUP BY lang
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|gate'), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS ug,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS us
+  FROM documents
+), base AS (
+  SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+  FROM documents GROUP BY lang
+), samp AS (
+  SELECT lang, COUNT(*) AS samp_docs, CAST(SUM(doc_id) AS BIGINT) AS samp_id_sum
+  FROM u WHERE ug < 0.2 GROUP BY lang
+), quota AS (
+  SELECT lang, COUNT(*) AS quota_docs, CAST(SUM(doc_id) AS BIGINT) AS quota_id_sum
+  FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY us, doc_id) AS rn
+    FROM u
+  ) WHERE rn <= 40 GROUP BY lang
+), bud AS (
+  SELECT lang, COUNT(*) AS budget_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS budget_chars,
+         CAST(SUM(doc_id) AS BIGINT) AS budget_id_sum
+  FROM (
+    SELECT lang, doc_id, n_chars,
+           COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY us, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM u
+  ) WHERE cb < 50000 GROUP BY lang
+)
+SELECT base.lang, base.n_docs, base.avg_chars,
+       samp.samp_docs, samp.samp_id_sum,
+       quota.quota_docs, quota.quota_id_sum,
+       bud.budget_docs, bud.budget_chars, bud.budget_id_sum
+FROM base
+LEFT JOIN samp  ON samp.lang  = base.lang
+LEFT JOIN quota ON quota.lang = base.lang
+LEFT JOIN bud   ON bud.lang   = base.lang
 """
 
     # ARI(1,1): y = Δx; φ = Σ(y·y₋₁)/Σ(y₋₁²) over rows with both lags
@@ -2844,8 +2957,45 @@ FROM d
 SELECT lp.id, lp.lang_pred, fpr.fingerprint,
        COALESCE(sh.n_shared, 0) AS n_shared_13grams,
        COALESCE(sh.n_shared, 0) > 0 AS contaminated,
-       ds.n_dup_spans, ds.dup_words, ds.dup_word_frac
+       ds.n_dup_spans, ds.dup_words, ds.dup_word_frac,
+       pii.n_email, pii.n_ipv4, pii.n_phone, pii.n_ssn, pii.n_pii,
+       pii.redacted_h
 FROM lp JOIN fpr ON fpr.id = lp.id
+JOIN (
+  WITH planted AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+      text
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 010 4242' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789' ELSE '' END AS t
+    FROM documents
+  )
+  SELECT id,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+    CAST(len(regexp_extract_all(t, '\+\d{1,3}[ \-.]\d{3}[ \-.]\d{3}[ \-.]\d{4}\b')) AS BIGINT) AS n_phone,
+    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+       + len(regexp_extract_all(t, '\+\d{1,3}[ \-.]\d{3}[ \-.]\d{3}[ \-.]\d{4}\b'))
+       + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii,
+    CAST(('0x' || substr(md5(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t,
+              '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<PII_EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII_IPV4>', 'g'),
+          '\+\d{1,3}[ \-.]\d{3}[ \-.]\d{3}[ \-.]\d{4}\b', '<PII_PHONE>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<PII_SSN>', 'g')
+    ), 1, 15)) AS BIGINT) AS redacted_h
+  FROM planted
+) pii ON pii.id = lp.id
 JOIN (
   WITH wq AS (
     SELECT CAST(doc_id AS BIGINT) AS id,

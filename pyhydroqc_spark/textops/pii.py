@@ -1,0 +1,129 @@
+"""PII detection and redaction for training-data curation.
+
+A 100 TB pre-training corpus is scrubbed before anything else touches it:
+emails, phone numbers, IP addresses and government-ID-shaped numbers are
+detected, counted (for corpus audit dashboards) and replaced with typed
+placeholder tokens (the C4 / Dolma / BigScience-ROOTS convention — see
+e.g. the BigScience PII pipeline and Dolma's `pii` taggers, which use
+exactly this regex-family shape at scale).
+
+Everything here is a pure JVM column expression — `regexp_count` /
+`regexp_extract_all` / `regexp_replace` run inside whole-stage codegen,
+so the scrub rides the very first corpus scan for free (no Python, no
+shuffle, no second pass). The patterns are deliberately restricted to
+the regex dialect intersection of Java (Spark) and RE2 (DuckDB/Go): no
+lookaround, no backreferences — so a plain-SQL engine can replay the
+scrub bit-for-bit, which is how the driver gate verifies it.
+
+Detection recall/precision is the usual regex-PII tradeoff (these rules
+are an audit-grade first pass, not an NER model); the published
+pipelines above ship the same tradeoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Ordered dict: redaction applies in THIS order, so e.g. an email is
+# rewritten before the phone rule can see digit runs inside it.
+# Every pattern is valid and equivalent in Java regex AND RE2.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the standard permissive email shape
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPv4 (audit pass: does not range-check octets)
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # international-prefixed phone: +CC sep 3 sep 3 sep 4
+    "phone": r"\+\d{1,3}[ \-.]\d{3}[ \-.]\d{3}[ \-.]\d{4}\b",
+    # US-SSN-shaped 3-2-4 digit groups
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, n_<kind>..., n_pii): non-overlapping match counts per PII
+    family plus the total — the corpus-audit surface (what fraction of
+    documents carry PII, and of which kind). One scan, all codegen."""
+    pats = patterns or PII_PATTERNS
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in pats.items()
+    ]
+    out = df.select(F.col(id_col).alias("id"), *cols)
+    total = None
+    for k in pats:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.select("id", *[f"n_{k}" for k in pats], total.alias("n_pii"))
+
+
+def redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "<PII_{kind}>",
+) -> DataFrame:
+    """(id, redacted): every PII match replaced by a typed placeholder
+    token (``<PII_EMAIL>`` etc.), families applied in ``patterns``
+    order. Typed tokens (rather than deletion) keep sentence structure
+    for the tokenizer and make residual-PII audits greppable — the
+    convention the public curation pipelines settled on."""
+    pats = patterns or PII_PATTERNS
+    out = F.col(text_col)
+    for k, p in pats.items():
+        out = F.regexp_replace(out, p, token_fmt.format(kind=k.upper()))
+    return df.select(F.col(id_col).alias("id"), out.alias("redacted"))
+
+
+def pii_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, kind, match): one row per PII occurrence — the audit-sample
+    surface (reviewers eyeball a hash-sampled slice of these before a
+    scrub is trusted). Lazy explode; at corpus scale this is read
+    through a `hash_sample`, never materialized in full."""
+    pats = patterns or PII_PATTERNS
+    kinds = F.array(
+        *[
+            F.transform(
+                F.regexp_extract_all(F.col(text_col), F.lit(p), 0),
+                lambda m: F.struct(F.lit(k).alias("kind"), m.alias("match")),
+            )
+            for k, p in pats.items()
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.flatten(kinds)).alias("__s"))
+        .select("id", F.col("__s.kind").alias("kind"), F.col("__s.match").alias("match"))
+    )
+
+
+def scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "<PII_{kind}>",
+) -> DataFrame:
+    """All input columns with ``text_col`` redacted in place plus the
+    per-family counts — the one-pass production shape: the scrub, its
+    audit columns, and everything downstream (tokenize, quality, dedup)
+    ride a single scan of the corpus."""
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    for k, p in pats.items():
+        red = F.regexp_replace(red, p, token_fmt.format(kind=k.upper()))
+    count_cols = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in pats.items()
+    ]
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, red.alias(text_col), *count_cols)
