@@ -614,10 +614,19 @@ def q_doc_profile(spark, sf_dir):
             F.when(did % 13 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
         ).alias("text"),
     )
-    piic = pii.pii_counts(planted, id_col="id", text_col="text")
-    redh = pii.redact(planted, id_col="id", text_col="text").select(
+    # one pass: scrub() emits counts + the redacted text together; the
+    # hash replaces the text so the gate never ships raw strings
+    scrubbed = pii.scrub(planted, id_col="id", text_col="text")
+    piic = scrubbed.select(
         "id",
-        F.conv(F.substring(F.md5(F.col("redacted")), 1, 15), 16, 10)
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_ssn",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") + F.col("n_ssn")).alias(
+            "n_pii"
+        ),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
         .cast("long")
         .alias("redacted_h"),
     )
@@ -639,7 +648,6 @@ def q_doc_profile(spark, sf_dir):
         .join(cont, "id")
         .join(spans, "id")
         .join(piic, "id")
-        .join(redh, "id")
     )
 
 
