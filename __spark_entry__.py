@@ -1457,18 +1457,57 @@ def q_streaming_detect(spark, sf_dir):
 
 
 def q_dup_keep_list(spark, sf_dir):
-    """The actionable full keep-list: dup_components with ``corpus=`` folds
-    singleton docs (no near-dup pair) back in as their own keep=true
-    components — the frame a pipeline actually filters the corpus by."""
-    from pyhydroqc_spark.textops import dedup
+    """The actionable full keep-list, two ways (consolidated gate, method
+    column): 'cc' = the one-shot connected-components keep-list
+    (dup_components with ``corpus=`` folding singletons back in);
+    'minhash_inc' = the r6-late INCREMENTAL path (textops/incremental.py)
+    — the corpus is run through a fresh on-disk DedupStore in TWO
+    id-ordered batches, each deciding only against the persisted
+    signature store + itself, and the gate's oracle replays the
+    equivalent ONE-SHOT rule in SQL ("duplicate iff a smaller-id doc
+    shares a band bucket with signature-jaccard ≥ 0.5") — proving
+    incremental ≡ one-shot byte-for-byte. ``component`` for the
+    incremental rows is coalesce(dup_of, doc_id)."""
+    import shutil
+    import tempfile
+
+    from pyhydroqc_spark.textops import dedup, incremental
 
     pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
     out = dedup.dup_components(pairs, corpus=_docs(spark, sf_dir))
-    return out.select(
+    cc = out.select(
+        F.lit("cc").alias("method"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
         "keep",
     )
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="dedup_store_")
+    try:
+        store = incremental.DedupStore(root)
+        d1 = incremental.incremental_dedup(
+            docs.where(F.col("doc_id") <= mid), store, threshold=0.5, hash_fn="md5"
+        )
+        d2 = incremental.incremental_dedup(
+            docs.where(F.col("doc_id") > mid), store, threshold=0.5, hash_fn="md5"
+        )
+        inc = (
+            d1.unionByName(d2)
+            .select(
+                F.lit("minhash_inc").alias("method"),
+                F.col("id").cast("long").alias("doc_id"),
+                F.coalesce("dup_of", "id").cast("long").alias("component"),
+                "keep",
+            )
+            # decisions are already materialized (the operator decides
+            # eagerly); pin them rows-side before the store dir vanishes
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return cc.unionByName(inc)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2872,17 +2911,70 @@ FROM b GROUP BY doc_id, bucket
 
     # full keep-list: the same transitive closure, LEFT-joined from the
     # corpus so singleton docs come back as their own keep=true components
+    # incremental-dedup one-shot replay: same md5 minhash signatures and
+    # 8-band buckets as the minhash_candidates oracle; a doc is a dup iff
+    # a smaller-id bucket-mate has signature-jaccard >= 0.5. The engine
+    # side ran this in TWO batches through a persisted store — equality
+    # here IS the incremental ≡ one-shot proof.
+    inc_oneshot = rf"""
+SELECT * FROM (
+WITH d AS (SELECT doc_id, lower(text) AS c FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, length(c) - 4) + 1),
+                        i -> substr(c, CAST(i AS INT), 5)) AS gs
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(gs,
+           g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {MERSENNE31}) AS hv
+  FROM sh
+), sigt AS (
+  SELECT doc_id, [
+      {perm_entries}
+  ] AS sg
+  FROM hs
+), banded AS (
+  SELECT doc_id, b,
+         CAST(('0x' || substr(md5(array_to_string(
+           list_transform(array_slice(sg, CAST(b * 4 + 1 AS INT), CAST(b * 4 + 4 AS INT)),
+                          v -> CAST(v AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS bucket
+  FROM sigt CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands
+), cpair AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a
+  JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+), verf AS (
+  SELECT p.id_b, MIN(p.id_a) AS dup_of
+  FROM cpair p
+  JOIN sigt sa ON sa.doc_id = p.id_a
+  JOIN sigt sb ON sb.doc_id = p.id_b
+  WHERE len(list_filter(range(1, 33),
+            i -> sa.sg[CAST(i AS INT)] = sb.sg[CAST(i AS INT)])) / 32.0 >= 0.5
+  GROUP BY p.id_b
+)
+SELECT 'minhash_inc' AS method, CAST(dd.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(v.dup_of, dd.doc_id) AS BIGINT) AS component,
+       v.dup_of IS NULL AS keep
+FROM documents dd LEFT JOIN verf v ON v.id_b = dd.doc_id
+)
+"""
     sql["dup_keep_list"] = (
-        sql["dup_components"].rsplit("SELECT CAST(src", 1)[0]
+        "SELECT * FROM (\n"
+        + sql["dup_components"].rsplit("SELECT CAST(src", 1)[0]
         + """, comp AS (
   SELECT src AS doc_id, MIN(dst) AS component, (src = MIN(dst)) AS keep
   FROM reach GROUP BY src
 )
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+SELECT 'cc' AS method, CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
        COALESCE(c.keep, TRUE) AS keep
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+UNION ALL
 """
+        + inc_oneshot
     )
 
     sql["multimodal_features"] = """

@@ -99,14 +99,17 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(commit_dir)
         return sorted(glob.glob(os.path.join(commit_dir, "*.parquet")))
 
-    def append(self, df: DataFrame, partition: str | None = None) -> int:
+    def append(
+        self, df: DataFrame, partition: str | None = None, extra: dict | None = None
+    ) -> int:
         """Append rows as a new snapshot; ``partition`` tags the files for
-        partition-level overwrite/retention."""
+        partition-level overwrite/retention; ``extra`` rides the manifest
+        (Iceberg snapshot-summary analogue, see ``latest_extra_value``)."""
         new_files = self._write_files(df, partition)
         files = dict(self._load(self.current_snapshot_id())["files"])
         for fp in new_files:
             files[fp] = partition
-        return self._commit(files)
+        return self._commit(files, extra)
 
     def overwrite_partition(self, df: DataFrame, partition: str) -> int:
         """Replace all files of one partition (Iceberg replacePartitions /

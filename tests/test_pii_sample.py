@@ -105,3 +105,55 @@ def test_token_budget_prefilter_exact(spark, corpus):
     # budget larger than any group's total: everything selected
     full = sample.token_budget_sample(corpus, 10**9, "n_chars", "lang").toPandas()
     assert len(full) == 600
+
+
+def test_incremental_dedup_matches_oneshot(spark, tmp_path):
+    """Three id-ordered batches through a persisted store (REOPENED from
+    disk between batches) decide identically to a one-shot pass; the
+    id-order contract raises."""
+    from pyspark.sql import functions as F
+
+    from pyhydroqc_spark.textops import dedup, incremental
+
+    rows = []
+    for i in range(90):
+        words = [f"w{(7 * i + j * j) % 53}" for j in range(30)]
+        if i % 9 == 4:  # near-dup of i-1: one word changed
+            words = [f"w{(7 * (i - 1) + j * j) % 53}" for j in range(30)]
+            words[0] = "CHANGED"
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sig = dedup.minhash_signatures(docs, num_perm=32)
+    cand = dedup.minhash_candidates(sig, bands=8)
+    ver = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sa")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sb")), "id_b")
+        .where(
+            F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v))
+            / 32.0
+            >= 0.5
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    oneshot = sorted(
+        tuple(r)
+        for r in sig.select("id")
+        .join(ver.withColumnRenamed("id_b", "id"), "id", "left")
+        .select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+        .collect()
+    )
+    assert any(not r[1] for r in oneshot)  # planted dups really drop
+
+    root = str(tmp_path / "store")
+    got = []
+    for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+        store = incremental.DedupStore(root)  # reopen: state is on disk
+        d = incremental.incremental_dedup(
+            docs.where(f"doc_id >= {lo} AND doc_id < {hi}"), store
+        )
+        got.extend(tuple(r) for r in d.collect())
+    assert sorted(got) == oneshot
+    with pytest.raises(ValueError, match="id-ordered"):
+        incremental.incremental_dedup(docs.where("doc_id < 5"), incremental.DedupStore(root))
