@@ -212,10 +212,61 @@ def q_rollup_tiers(spark, sf_dir):
         _rollup(spark, sf_dir, 86400).withColumn("tier", F.lit("1d")),
         q_rollup_tiered_1d(spark, sf_dir).withColumn("tier", F.lit("tiered_1d")),
     ]
-    out = parts[0]
+    out = parts[0].withColumn("is_gap", F.lit(False))
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        out = out.unionByName(p.withColumn("is_gap", F.lit(False)))
+    # r6 session-4: the gap-fill READ operators (time_bucket_gapfill /
+    # locf / interpolate analogues) join the gate as two more row-sets:
+    # the dense 1d grid with the default fills (cnt/sum→0, stats
+    # interpolated in bucket time), and a 6-series 1h grid exercising
+    # every strategy at once (locf avg, interpolated min, NULL-densified
+    # max). is_gap marks the synthesized rows, hash-checked like all else.
+    return out.unionByName(_gapfill_tier(spark, sf_dir)).unionByName(
+        _gapfill_tier_1h(spark, sf_dir)
+    )
+
+
+def _gapfill_parts(gf):
+    return gf.select(
+        "doc_id",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        "is_gap",
+    )
+
+
+def _gapfill_tier(spark, sf_dir):
+    from pyhydroqc_spark.operators import rollup
+
+    agg = rollup.rollup_points(
+        _events_long(spark, sf_dir), 86400, value_col="value"
+    ).drop("tier")
+    return _gapfill_parts(rollup.gapfill(agg, 86400)).withColumn(
+        "tier", F.lit("gapfill_1d")
+    )
+
+
+def _gapfill_tier_1h(spark, sf_dir):
+    from pyhydroqc_spark.operators import rollup
+
+    df = _events_long(spark, sf_dir).where(F.col("doc_id").cast("long") % 25 == 0)
+    agg = rollup.rollup_points(df, 3600, value_col="value").drop("tier")
+    gf = rollup.gapfill(
+        agg,
+        3600,
+        fill={
+            "cnt": "zero",
+            "sum_val": "zero",
+            "avg_val": "locf",
+            "min_val": "interpolate",
+            "max_val": "null",
+        },
+    )
+    return _gapfill_parts(gf).withColumn("tier", F.lit("gapfill_1h_s25"))
 
 
 def q_edge_filter(spark, sf_dir):
@@ -1723,17 +1774,85 @@ SELECT '{label}' AS tier, doc_id,
        ROUND(SUM(value), 6) AS sum_val,
        ROUND(AVG(value), 6) AS avg_val,
        ROUND(MIN(value), 6) AS min_val,
-       ROUND(MAX(value), 6) AS max_val
+       ROUND(MAX(value), 6) AS max_val,
+       FALSE AS is_gap
 FROM base GROUP BY doc_id, bucket_s"""
 
-    # the tiered_1d cascade must equal the direct 1d rollup — same oracle
-    sql["rollup_tiers"] = BASE_SQL + "\nUNION ALL".join(
-        [
-            _tier_select(900, "15min"),
-            _tier_select(3600, "1h"),
-            _tier_select(86400, "1d"),
-            _tier_select(86400, "tiered_1d"),
-        ]
+    def _gapfill_ctes(n: str, tier: int, where: str = "") -> str:
+        # dense grid from the per-series span; prev/next non-null values
+        # and bucket times via RUNNING frames in both directions (the
+        # same shape the engine uses — never a following-unbounded frame)
+        return f"""
+, ga{n} AS (
+  SELECT doc_id, CAST(FLOOR(EPOCH(ts) / {tier}) * {tier} AS BIGINT) AS b,
+         COUNT(value) AS cnt, SUM(value) AS sv, AVG(value) AS av,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM base {where} GROUP BY 1, 2
+), gs{n} AS (SELECT doc_id, MIN(b) AS lo, MAX(b) AS hi FROM ga{n} GROUP BY 1
+), gg{n} AS (
+  SELECT doc_id, unnest(range(lo, hi + {tier}, {tier})) AS b FROM gs{n}
+), gd{n} AS (
+  SELECT g.doc_id, g.b, a.cnt, a.sv, a.av, a.mn, a.mx,
+         a.doc_id IS NULL AS is_gap
+  FROM gg{n} g LEFT JOIN ga{n} a ON a.doc_id = g.doc_id AND a.b = g.b
+), gw{n} AS (
+  SELECT doc_id, b, cnt, sv, av, mn, mx, is_gap,
+         last_value(av IGNORE NULLS) OVER wa AS pav,
+         last_value(mn IGNORE NULLS) OVER wa AS pmn,
+         last_value(mx IGNORE NULLS) OVER wa AS pmx,
+         last_value(CASE WHEN cnt IS NOT NULL THEN b END IGNORE NULLS) OVER wa AS pt,
+         last_value(av IGNORE NULLS) OVER wd AS nav,
+         last_value(mn IGNORE NULLS) OVER wd AS nmn,
+         last_value(mx IGNORE NULLS) OVER wd AS nmx,
+         last_value(CASE WHEN cnt IS NOT NULL THEN b END IGNORE NULLS) OVER wd AS nt
+  FROM gd{n}
+  WINDOW wa AS (PARTITION BY doc_id ORDER BY b ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wd AS (PARTITION BY doc_id ORDER BY b DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
+
+    gap_sel_1d = """
+SELECT 'gapfill_1d' AS tier, doc_id, b AS bucket_s,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       ROUND(COALESCE(sv, 0), 6) AS sum_val,
+       ROUND(CASE WHEN av IS NOT NULL THEN av
+             ELSE pav + (nav - pav) * (b - pt) / (nt - pt) END, 6) AS avg_val,
+       ROUND(CASE WHEN mn IS NOT NULL THEN mn
+             ELSE pmn + (nmn - pmn) * (b - pt) / (nt - pt) END, 6) AS min_val,
+       ROUND(CASE WHEN mx IS NOT NULL THEN mx
+             ELSE pmx + (nmx - pmx) * (b - pt) / (nt - pt) END, 6) AS max_val,
+       is_gap
+FROM gw1"""
+
+    gap_sel_1h = """
+SELECT 'gapfill_1h_s25' AS tier, doc_id, b AS bucket_s,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       ROUND(COALESCE(sv, 0), 6) AS sum_val,
+       ROUND(pav, 6) AS avg_val,
+       ROUND(CASE WHEN mn IS NOT NULL THEN mn
+             ELSE pmn + (nmn - pmn) * (b - pt) / (nt - pt) END, 6) AS min_val,
+       ROUND(mx, 6) AS max_val,
+       is_gap
+FROM gw2"""
+
+    # the tiered_1d cascade must equal the direct 1d rollup — same oracle;
+    # gapfill_1d = default fills (cnt/sum zero, stats time-interpolated);
+    # gapfill_1h_s25 = 6 series, locf avg / interpolated min / NULL max
+    sql["rollup_tiers"] = (
+        BASE_SQL
+        + _gapfill_ctes("1", 86400)
+        + _gapfill_ctes("2", 3600, "WHERE CAST(doc_id AS BIGINT) % 25 = 0")
+        + "\nUNION ALL".join(
+            [
+                _tier_select(900, "15min"),
+                _tier_select(3600, "1h"),
+                _tier_select(86400, "1d"),
+                _tier_select(86400, "tiered_1d"),
+                gap_sel_1d,
+                gap_sel_1h,
+            ]
+        )
     )
 
     sql["edge_filter"] = BASE_SQL + """

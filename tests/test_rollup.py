@@ -66,3 +66,46 @@ def test_rollup_ignores_nulls(spark):
     got = rollup.rollup_points(spark.createDataFrame(pdf), 3600).toPandas()
     assert got["cnt"].tolist() == [2]
     assert got["avg_val"].tolist() == [2.0]
+
+
+def test_gapfill_semantics(spark):
+    """Dense grid + every fill strategy: zero, locf (forward only —
+    leading holes stay NULL), time-linear interpolate (strictly between
+    known buckets), null (densify only); is_gap marks synthesized rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", 0, 4, 10.0, 2.5, 1.0, 5.0),
+        ("a", 900, 2, 6.0, 3.0, 2.0, 4.0),
+        ("a", 3600, 1, 8.0, 8.0, 8.0, 8.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "b", "cnt", "sum_val", "avg_val", "min_val", "max_val"]
+    )
+    df = spark.createDataFrame(pdf).select(
+        "doc_id",
+        F.timestamp_seconds("b").alias("bucket_start"),
+        "cnt", "sum_val", "avg_val", "min_val", "max_val",
+    )
+    out = rollup.gapfill(df, 900).orderBy("bucket_start").toPandas()
+    out["t"] = out["bucket_start"].astype("int64") // 10**9
+    assert out["t"].tolist() == [0, 900, 1800, 2700, 3600]
+    assert out["is_gap"].tolist() == [False, False, True, True, False]
+    assert out["cnt"].tolist() == [4, 2, 0, 0, 1]
+    # time-linear between 3.0@900 and 8.0@3600
+    assert abs(out.loc[2, "avg_val"] - (3.0 + 5.0 * 900 / 2700)) < 1e-9
+    assert abs(out.loc[3, "avg_val"] - (3.0 + 5.0 * 1800 / 2700)) < 1e-9
+
+    mixed = rollup.gapfill(
+        df, 900,
+        fill={"cnt": "zero", "sum_val": "zero", "avg_val": "locf",
+              "min_val": "null", "max_val": "interpolate"},
+    ).orderBy("bucket_start").toPandas()
+    assert mixed["avg_val"].tolist() == [2.5, 3.0, 3.0, 3.0, 8.0]  # locf
+    assert pd.isna(mixed.loc[2, "min_val"]) and pd.isna(mixed.loc[3, "min_val"])
+
+    with pytest.raises(ValueError, match="unknown fill strategy"):
+        rollup.gapfill(df, 900, fill={"avg_val": "nearest"})
+    with pytest.raises(ValueError, match="not in frame"):
+        rollup.gapfill(df, 900, fill={"nope": "locf"})
