@@ -111,10 +111,14 @@ class SnapshotTable:
             files[fp] = partition
         return self._commit(files, extra)
 
-    def overwrite_partition(self, df: DataFrame, partition: str) -> int:
+    def overwrite_partition(
+        self, df: DataFrame, partition: str, extra: dict | None = None
+    ) -> int:
         """Replace all files of one partition (Iceberg replacePartitions /
         MERGE-by-partition analogue) in a single atomic snapshot."""
-        return self._overwrite_with(self._write_files(df, partition), partition)
+        return self._overwrite_with(
+            self._write_files(df, partition), partition, extra
+        )
 
     def overwrite_partition_counted(self, df: DataFrame, partition: str):
         """``overwrite_partition`` that also returns the row count, read
@@ -126,7 +130,9 @@ class SnapshotTable:
         n = _parquet_rows(new_files)
         return self._overwrite_with(new_files, partition), n
 
-    def _overwrite_with(self, new_files: list, partition: str) -> int:
+    def _overwrite_with(
+        self, new_files: list, partition: str, extra: dict | None = None
+    ) -> int:
         files = {
             fp: p
             for fp, p in self._load(self.current_snapshot_id())["files"].items()
@@ -134,7 +140,7 @@ class SnapshotTable:
         }
         for fp in new_files:
             files[fp] = partition
-        return self._commit(files)
+        return self._commit(files, extra)
 
     def snapshot_extra(self, snapshot_id: int | None = None) -> dict:
         """Application metadata attached to a snapshot commit (empty dict

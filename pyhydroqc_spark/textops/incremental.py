@@ -80,25 +80,21 @@ def _est_jaccard(sig_a, sig_b, num_perm: int):
     return F.size(F.filter(eq, lambda v: v)) / F.lit(float(num_perm))
 
 
-def incremental_dedup(
+def _decide(
     new_docs: DataFrame,
     store: DedupStore,
-    threshold: float = 0.5,
-    num_perm: int = 32,
-    bands: int = 8,
-    shingle_k: int = 5,
-    hash_fn: str = "xxhash64",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    update_store: bool = True,
-    broadcast_batch: bool = True,
-) -> DataFrame:
-    """(id, keep, dup_of): the batch's keep/drop decisions against
-    everything the store has seen plus the batch itself; ``dup_of`` is
-    the smallest verified-duplicate neighbor id (NULL when kept).
-    Appends the batch's state to the store (``update_store=False`` for
-    a dry run). The returned frame is small (one row per batch doc) and
-    fully decided at return time."""
+    threshold: float,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    hash_fn: str,
+    id_col: str,
+    text_col: str,
+    broadcast_batch: bool,
+):
+    """Core decision pass: returns (decisions, sig_new, b_new, bounds)
+    with decisions fully materialized and ``sig_new`` still persisted
+    (callers write it to the store, then unpersist)."""
     from pyspark import StorageLevel
 
     spark = new_docs.sparkSession
@@ -129,6 +125,11 @@ def incremental_dedup(
         cand_old = (
             old_b.withColumnRenamed("id", "id_a")
             .join(probe.withColumnRenamed("id", "id_b"), ["band", "bucket"])
+            # id_a < id_b is a no-op in a consistent store (everything
+            # stored is smaller by the id-order contract) but shields the
+            # streaming partial-commit window, where a replayed batch can
+            # see its own bucket rows from an interrupted attempt
+            .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -182,13 +183,120 @@ def incremental_dedup(
     decisions.count()  # decide BEFORE the store moves on
     if old_b is not None:
         cand_old.unpersist()
+    return decisions, sig_new, b_new, bounds
 
+
+def _new_max(store: DedupStore, bounds) -> int:
+    prev = store.max_id()
+    return bounds["hi"] if prev is None else max(prev, bounds["hi"])
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    store: DedupStore,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    update_store: bool = True,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """(id, keep, dup_of): the batch's keep/drop decisions against
+    everything the store has seen plus the batch itself; ``dup_of`` is
+    the smallest verified-duplicate neighbor id (NULL when kept).
+    Appends the batch's state to the store (``update_store=False`` for
+    a dry run). The returned frame is small (one row per batch doc) and
+    fully decided at return time."""
+    decisions, sig_new, b_new, bounds = _decide(
+        new_docs, store, threshold, num_perm, bands, shingle_k,
+        hash_fn, id_col, text_col, broadcast_batch,
+    )
     if update_store and bounds["n"] > 0:
         tag = f"ids_le_{bounds['hi']}"
-        new_max = (
-            bounds["hi"] if prev_max is None else max(prev_max, bounds["hi"])
+        store.sigs.append(
+            sig_new, partition=tag, extra={"max_id": _new_max(store, bounds)}
         )
-        store.sigs.append(sig_new, partition=tag, extra={"max_id": new_max})
         store.buckets.append(b_new, partition=tag)
     sig_new.unpersist()
     return decisions
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    store: DedupStore | None = None,
+    doc_schema: str = "doc_id long, text string",
+    **dedup_kwargs,
+) -> None:
+    """Structured-streaming incremental dedup: drain landing document
+    files (``Trigger.AvailableNow`` — the scheduled-job shape), decide
+    each micro-batch against the store, write decisions to a
+    ``decisions`` SnapshotTable under ``out_dir``.
+
+    Replay safety under foreachBatch's at-least-once delivery, without
+    tripping the id-order contract:
+
+    * a FULLY committed batch is recognized by ``stream_batch_id`` on the
+      signature store (the LAST write of the commit sequence) and skipped
+      outright;
+    * a PARTIALLY committed batch (crash mid-sequence) re-runs and every
+      write is an ``overwrite_partition`` keyed on the batch id, so the
+      interrupted attempt's files are replaced, never duplicated. Its
+      decisions are identical on replay because the signature table —
+      the only store input the verification reads — only commits at the
+      end, and the candidate join drops ids the signature table does not
+      know (plus the ``id_a < id_b`` guard against the batch's own
+      orphaned bucket rows).
+
+    The store and the stream checkpoint are scoped together (same rule as
+    run_streaming_rollup): wipe both or neither."""
+    import os
+
+    dec_table = SnapshotTable(os.path.join(out_dir, "decisions"))
+    if store is None:
+        store = DedupStore(os.path.join(out_dir, "store"))
+    ckpt = os.path.join(out_dir, "_stream_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.sigs.latest_extra_value("stream_batch_id")
+        if last is not None and int(batch_id) <= int(last):
+            return  # committed batch replayed
+        decisions, sig_new, b_new, bounds = _decide(
+            batch_df,
+            store,
+            dedup_kwargs.get("threshold", 0.5),
+            dedup_kwargs.get("num_perm", 32),
+            dedup_kwargs.get("bands", 8),
+            dedup_kwargs.get("shingle_k", 5),
+            dedup_kwargs.get("hash_fn", "xxhash64"),
+            dedup_kwargs.get("id_col", "doc_id"),
+            dedup_kwargs.get("text_col", "text"),
+            dedup_kwargs.get("broadcast_batch", True),
+        )
+        tag = f"b{int(batch_id)}"
+        dec_table.overwrite_partition(decisions, tag)
+        store.buckets.overwrite_partition(b_new, tag)
+        # LAST: the batch-id high-water mark rides the final commit, so a
+        # crash anywhere earlier leaves the batch recognizably incomplete
+        extra = {"stream_batch_id": int(batch_id)}
+        if bounds["n"] > 0:
+            extra["max_id"] = _new_max(store, bounds)
+        # empty batch: no max_id key on this snapshot — the lineage walk
+        # (latest_extra_value) still finds the previous one
+        store.sigs.overwrite_partition(sig_new, tag, extra=extra)
+        sig_new.unpersist()
+
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
