@@ -278,14 +278,41 @@ def q_edge_filter(spark, sf_dir):
 
 
 def q_business_hours(spark, sf_dir):
+    """Per-series time-predicate counts + the r6-session-4 time-ordered
+    operators: an AS-OF JOIN (every reading aligned to the most recent
+    'mark' row at or before it — union-window shape, one shuffle, no
+    range join; DuckDB verifies with its NATIVE ASOF JOIN, a fully
+    independent implementation) and gap-based SESSIONIZATION (6h silence
+    splits; engine uses Spark's native session_window aggregate, the
+    oracle replays the lag+cumsum island form — proving the two
+    formulations agree)."""
+    from pyhydroqc_spark.operators import timejoin
+
     df = _events_long(spark, sf_dir)
-    return df.groupBy("doc_id").agg(
+    bh = df.groupBy("doc_id").agg(
         F.sum(
             (
                 F.dayofweek("ts").between(2, 6) & F.hour("ts").between(7, 17)
             ).cast("long")
         ).alias("business_rows")
     )
+    marks = df.where(F.col("pos") % 50 == 0).select(
+        "doc_id", "ts", F.col("value").alias("mark")
+    )
+    aj = timejoin.asof_join(df, marks, on="ts", by="doc_id", value_cols=["mark"])
+    aja = aj.groupBy("doc_id").agg(
+        F.count("mark").alias("asof_n"),
+        F.round(F.sum("mark"), 6).alias("asof_sum"),
+    )
+    sess = (
+        timejoin.session_stats(df, 21600)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_rows").alias("max_sess_rows"),
+        )
+    )
+    return bh.join(aja, "doc_id").join(sess, "doc_id")
 
 
 def q_drift_ramp(spark, sf_dir):
@@ -1869,11 +1896,45 @@ SELECT doc_id, pos,
 FROM st
 """
 
+    # asof via DuckDB's NATIVE ASOF JOIN (independent of the engine's
+    # union-window formulation); sessions via the lag+cumsum island form
+    # (independent of Spark's session_window aggregate)
     sql["business_hours"] = BASE_SQL + """
-SELECT doc_id,
-       CAST(SUM(CASE WHEN dayofweek(ts) BETWEEN 1 AND 5 AND hour(ts) BETWEEN 7 AND 17
-                THEN 1 ELSE 0 END) AS BIGINT) AS business_rows
-FROM base GROUP BY doc_id
+, bh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN dayofweek(ts) BETWEEN 1 AND 5 AND hour(ts) BETWEEN 7 AND 17
+                  THEN 1 ELSE 0 END) AS BIGINT) AS business_rows
+  FROM base GROUP BY doc_id
+), mk AS (
+  SELECT doc_id, ts, value AS mark FROM base WHERE pos % 50 = 0
+), aj AS (
+  SELECT b.doc_id, m.mark
+  FROM base b ASOF LEFT JOIN mk m ON b.doc_id = m.doc_id AND b.ts >= m.ts
+), aja AS (
+  SELECT doc_id, CAST(COUNT(mark) AS BIGINT) AS asof_n,
+         ROUND(SUM(mark), 6) AS asof_sum
+  FROM aj GROUP BY doc_id
+), sd AS (
+  SELECT doc_id, ts,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY doc_id ORDER BY ts)) > 21600
+              THEN 1 ELSE 0 END AS ns
+  FROM base
+), si AS (
+  SELECT doc_id,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM sd
+), sa AS (
+  SELECT doc_id, sid, COUNT(*) AS n FROM si GROUP BY 1, 2
+), sg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(MAX(n) AS BIGINT) AS max_sess_rows
+  FROM sa GROUP BY doc_id
+)
+SELECT bh.doc_id, bh.business_rows, aja.asof_n, aja.asof_sum,
+       sg.n_sessions, sg.max_sess_rows
+FROM bh JOIN aja ON aja.doc_id = bh.doc_id
+JOIN sg ON sg.doc_id = bh.doc_id
 """
 
     sql["drift_ramp"] = BASE_SQL + """

@@ -384,6 +384,25 @@ def main():
         "is gone (measured 26.7× at 100M rows × 4 groups, TEXTOPS.md).\n"
     )
 
+    # 15. as-of join: the union-window shape — NEVER a range join
+    # (BroadcastNestedLoop / CartesianProduct), just union + one
+    # window sort per key.
+    from pyhydroqc_spark.operators import timejoin as _tj
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).selectExpr(
+        "CAST(user_id AS STRING) AS doc_id", "ts", "value"
+    )
+    marks15 = ev.where("value > 24").selectExpr("doc_id", "ts", "value AS mark")
+    audit(
+        "asof_join (union-window, r6)",
+        _tj.asof_join(ev, marks15, on="ts", by="doc_id", value_cols=["mark"]),
+        must=[r"Window", r"Union"],
+        must_not=[r"BroadcastNestedLoopJoin", r"CartesianProduct", r"SortMergeJoin"],
+        note="an as-of join spelled as a range join explodes O(|L|·|R|) "
+        "per key; the union-window shape costs one exchange + one sort, "
+        "the same as any windowed aggregate.",
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(report) + "\n")
