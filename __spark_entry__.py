@@ -154,12 +154,11 @@ def q_group_bools(spark, sf_dir):
     return out.select("doc_id", "pos", F.col("group_id").cast("long").alias("group_id"))
 
 
-def _rollup(spark, sf_dir, tier):
-    from pyhydroqc_spark.operators import rollup
+HIST = (32, -5.0, 30.0)  # (bins, lo, hi) — the composable sketch domain
 
-    df = _events_long(spark, sf_dir)
-    out = rollup.rollup_points(df, tier, value_col="value")
-    return out.select(
+
+def _rollup_gate_cols(agg_with_stats):
+    return agg_with_stats.select(
         "doc_id",
         F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
         F.col("cnt").cast("long").alias("cnt"),
@@ -167,7 +166,22 @@ def _rollup(spark, sf_dir, tier):
         F.round("avg_val", 6).alias("avg_val"),
         F.round("min_val", 6).alias("min_val"),
         F.round("max_val", 6).alias("max_val"),
+        "hist_checksum",
+        "p50_bin",
+        "p95_bin",
     )
+
+
+def _rollup(spark, sf_dir, tier, df=None):
+    """Scalar aggregates AND the percentile sketch in ONE hash
+    aggregation (hist= rides the same groupBy — no second pass, no
+    join), stats derived in a projection."""
+    from pyhydroqc_spark.operators import rollup
+
+    if df is None:
+        df = _events_long(spark, sf_dir)
+    out = rollup.rollup_points(df, tier, value_col="value", hist=HIST)
+    return _rollup_gate_cols(rollup.hist_stats(out))
 
 
 def q_rollup_15min(spark, sf_dir):
@@ -182,21 +196,35 @@ def q_rollup_1d(spark, sf_dir):
     return _rollup(spark, sf_dir, 86400)
 
 
-def q_rollup_tiered_1d(spark, sf_dir):
+def q_rollup_tiered_1d(spark, sf_dir, df=None):
     from pyhydroqc_spark.operators import rollup
 
-    df = _events_long(spark, sf_dir)
-    h1 = rollup.rollup_points(df, 3600, value_col="value")
+    # the sketch composes through the cascade (rollup_from_rollup sums
+    # the 1h histograms elementwise): composed 1d stats must hash-match
+    # the direct 1d row-set — the driver-checked mergeability proof
+    if df is None:
+        df = _events_long(spark, sf_dir)
+    h1 = rollup.rollup_points(df, 3600, value_col="value", hist=HIST)
     d1 = rollup.rollup_from_rollup(h1.drop("tier"), 86400)
-    return d1.select(
-        "doc_id",
-        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
-        F.col("cnt").cast("long").alias("cnt"),
-        F.round("sum_val", 6).alias("sum_val"),
-        F.round("avg_val", 6).alias("avg_val"),
-        F.round("min_val", 6).alias("min_val"),
-        F.round("max_val", 6).alias("max_val"),
-    )
+    return _rollup_gate_cols(rollup.hist_stats(d1))
+
+
+_ROLLUP_LONG_CACHE: dict = {}
+
+
+def _rollup_long_cached(spark, sf_dir):
+    # localCheckpoint, NOT persist: a persisted frame is plan-matched by
+    # Spark's CacheManager into EVERY other query that derives the same
+    # _events_long subtree (ar1_residuals' audited no-persist contract
+    # broke from a cache created here); a LogicalRDD is a distinct plan
+    # that nothing else can silently substitute.
+    key = (id(spark), sf_dir)  # a restarted session invalidates old RDDs
+    if key not in _ROLLUP_LONG_CACHE:
+        _ROLLUP_LONG_CACHE.clear()
+        _ROLLUP_LONG_CACHE[key] = _events_long(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    return _ROLLUP_LONG_CACHE[key]
 
 
 def q_rollup_tiers(spark, sf_dir):
@@ -206,11 +234,21 @@ def q_rollup_tiers(spark, sf_dir):
     hash-checked independently. Consolidates the four r4 gates
     rollup_15min/1h/1d/tiered_1d into one queries() slot (the driver
     artifact caps near 50 entries — see CHANGES_r05.md)."""
+    # ONE persisted copy of the windowed long frame feeds all six
+    # row-sets: the gate deliberately computes every tier DIRECT from
+    # facts (to cross-check the cascade), so without the cache the six
+    # subtrees each redo the scan+window — 4.7s -> ~1.4s at sf0.1. The
+    # persist is materialized EAGERLY (one cheap action): six subtrees
+    # missing a cold cache concurrently each compute the subtree
+    # themselves (simultaneous misses do not dedupe work). At corpus
+    # scale you would not cache facts; rollup_all_tiers' tier-from-tier
+    # cascade scans them once instead.
+    long_df = _rollup_long_cached(spark, sf_dir)
     parts = [
-        _rollup(spark, sf_dir, 900).withColumn("tier", F.lit("15min")),
-        _rollup(spark, sf_dir, 3600).withColumn("tier", F.lit("1h")),
-        _rollup(spark, sf_dir, 86400).withColumn("tier", F.lit("1d")),
-        q_rollup_tiered_1d(spark, sf_dir).withColumn("tier", F.lit("tiered_1d")),
+        _rollup(spark, sf_dir, 900, df=long_df).withColumn("tier", F.lit("15min")),
+        _rollup(spark, sf_dir, 3600, df=long_df).withColumn("tier", F.lit("1h")),
+        _rollup(spark, sf_dir, 86400, df=long_df).withColumn("tier", F.lit("1d")),
+        q_rollup_tiered_1d(spark, sf_dir, df=long_df).withColumn("tier", F.lit("tiered_1d")),
     ]
     out = parts[0].withColumn("is_gap", F.lit(False))
     for p in parts[1:]:
@@ -221,8 +259,8 @@ def q_rollup_tiers(spark, sf_dir):
     # interpolated in bucket time), and a 6-series 1h grid exercising
     # every strategy at once (locf avg, interpolated min, NULL-densified
     # max). is_gap marks the synthesized rows, hash-checked like all else.
-    return out.unionByName(_gapfill_tier(spark, sf_dir)).unionByName(
-        _gapfill_tier_1h(spark, sf_dir)
+    return out.unionByName(_gapfill_tier(spark, sf_dir, df=long_df)).unionByName(
+        _gapfill_tier_1h(spark, sf_dir, df=long_df)
     )
 
 
@@ -236,24 +274,31 @@ def _gapfill_parts(gf):
         F.round("min_val", 6).alias("min_val"),
         F.round("max_val", 6).alias("max_val"),
         "is_gap",
+        # sketch columns ride only the tier row-sets (a synthesized gap
+        # bucket has no histogram to interpolate)
+        F.lit(None).cast("long").alias("hist_checksum"),
+        F.lit(None).cast("int").alias("p50_bin"),
+        F.lit(None).cast("int").alias("p95_bin"),
     )
 
 
-def _gapfill_tier(spark, sf_dir):
+def _gapfill_tier(spark, sf_dir, df=None):
     from pyhydroqc_spark.operators import rollup
 
-    agg = rollup.rollup_points(
-        _events_long(spark, sf_dir), 86400, value_col="value"
-    ).drop("tier")
+    if df is None:
+        df = _events_long(spark, sf_dir)
+    agg = rollup.rollup_points(df, 86400, value_col="value").drop("tier")
     return _gapfill_parts(rollup.gapfill(agg, 86400)).withColumn(
         "tier", F.lit("gapfill_1d")
     )
 
 
-def _gapfill_tier_1h(spark, sf_dir):
+def _gapfill_tier_1h(spark, sf_dir, df=None):
     from pyhydroqc_spark.operators import rollup
 
-    df = _events_long(spark, sf_dir).where(F.col("doc_id").cast("long") % 25 == 0)
+    if df is None:
+        df = _events_long(spark, sf_dir)
+    df = df.where(F.col("doc_id").cast("long") % 25 == 0)
     agg = rollup.rollup_points(df, 3600, value_col="value").drop("tier")
     gf = rollup.gapfill(
         agg,
@@ -1793,17 +1838,46 @@ SELECT doc_id, pos,
 FROM lg
 """
 
-    def _tier_select(tier: int, label: str) -> str:
+    def _hist_ctes(n: str, tier: int) -> str:
+        # fixed-bin histogram replay: bin = clamp(floor((v+5)/35·32));
+        # checksum is per-row additive (Σ bin+1); the quantile bin is the
+        # bin of the k-th order statistic, found where the rank crosses
+        # 100·rnk ≥ q·100·tot — exact integer arithmetic end to end
         return f"""
-SELECT '{label}' AS tier, doc_id,
-       CAST(FLOOR(EPOCH(ts) / {tier}) * {tier} AS BIGINT) AS bucket_s,
-       COUNT(value) AS cnt,
-       ROUND(SUM(value), 6) AS sum_val,
-       ROUND(AVG(value), 6) AS avg_val,
-       ROUND(MIN(value), 6) AS min_val,
-       ROUND(MAX(value), 6) AS max_val,
-       FALSE AS is_gap
-FROM base GROUP BY doc_id, bucket_s"""
+, hb{n} AS (
+  SELECT doc_id, CAST(FLOOR(EPOCH(ts) / {tier}) * {tier} AS BIGINT) AS bucket_s,
+         LEAST(GREATEST(CAST(FLOOR((value + 5) / 35.0 * 32) AS INT), 0), 31) AS bin
+  FROM base WHERE value IS NOT NULL
+), hr{n} AS (
+  SELECT doc_id, bucket_s, bin,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, bucket_s ORDER BY bin) AS rnk,
+         COUNT(*) OVER (PARTITION BY doc_id, bucket_s) AS tot
+  FROM hb{n}
+), hp{n} AS (
+  SELECT doc_id, bucket_s,
+         CAST(SUM(bin + 1) AS BIGINT) AS hist_checksum,
+         CAST(MIN(CASE WHEN 100 * rnk >= 50 * tot THEN bin END) AS INT) AS p50_bin,
+         CAST(MIN(CASE WHEN 100 * rnk >= 95 * tot THEN bin END) AS INT) AS p95_bin
+  FROM hr{n} GROUP BY 1, 2
+)"""
+
+    def _tier_select(tier: int, label: str, hn: str) -> str:
+        return f"""
+SELECT '{label}' AS tier, t.doc_id,
+       CAST(FLOOR(EPOCH(t.ts) / {tier}) * {tier} AS BIGINT) AS bucket_s,
+       COUNT(t.value) AS cnt,
+       ROUND(SUM(t.value), 6) AS sum_val,
+       ROUND(AVG(t.value), 6) AS avg_val,
+       ROUND(MIN(t.value), 6) AS min_val,
+       ROUND(MAX(t.value), 6) AS max_val,
+       FALSE AS is_gap,
+       CAST(COALESCE(ANY_VALUE(h.hist_checksum), 0) AS BIGINT) AS hist_checksum,
+       ANY_VALUE(h.p50_bin) AS p50_bin,
+       ANY_VALUE(h.p95_bin) AS p95_bin
+FROM base t
+LEFT JOIN hp{hn} h ON h.doc_id = t.doc_id
+             AND h.bucket_s = CAST(FLOOR(EPOCH(t.ts) / {tier}) * {tier} AS BIGINT)
+GROUP BY t.doc_id, CAST(FLOOR(EPOCH(t.ts) / {tier}) * {tier} AS BIGINT)"""
 
     def _gapfill_ctes(n: str, tier: int, where: str = "") -> str:
         # dense grid from the per-series span; prev/next non-null values
@@ -1839,6 +1913,11 @@ FROM base GROUP BY doc_id, bucket_s"""
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )"""
 
+    gap_null_cols = """,
+       CAST(NULL AS BIGINT) AS hist_checksum,
+       CAST(NULL AS INT) AS p50_bin,
+       CAST(NULL AS INT) AS p95_bin"""
+
     gap_sel_1d = """
 SELECT 'gapfill_1d' AS tier, doc_id, b AS bucket_s,
        CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
@@ -1849,7 +1928,7 @@ SELECT 'gapfill_1d' AS tier, doc_id, b AS bucket_s,
              ELSE pmn + (nmn - pmn) * (b - pt) / (nt - pt) END, 6) AS min_val,
        ROUND(CASE WHEN mx IS NOT NULL THEN mx
              ELSE pmx + (nmx - pmx) * (b - pt) / (nt - pt) END, 6) AS max_val,
-       is_gap
+       is_gap""" + gap_null_cols + """
 FROM gw1"""
 
     gap_sel_1h = """
@@ -1860,7 +1939,7 @@ SELECT 'gapfill_1h_s25' AS tier, doc_id, b AS bucket_s,
        ROUND(CASE WHEN mn IS NOT NULL THEN mn
              ELSE pmn + (nmn - pmn) * (b - pt) / (nt - pt) END, 6) AS min_val,
        ROUND(mx, 6) AS max_val,
-       is_gap
+       is_gap""" + gap_null_cols + """
 FROM gw2"""
 
     # the tiered_1d cascade must equal the direct 1d rollup — same oracle;
@@ -1870,12 +1949,17 @@ FROM gw2"""
         BASE_SQL
         + _gapfill_ctes("1", 86400)
         + _gapfill_ctes("2", 3600, "WHERE CAST(doc_id AS BIGINT) % 25 = 0")
+        + _hist_ctes("q", 900)
+        + _hist_ctes("h", 3600)
+        + _hist_ctes("d", 86400)
         + "\nUNION ALL".join(
             [
-                _tier_select(900, "15min"),
-                _tier_select(3600, "1h"),
-                _tier_select(86400, "1d"),
-                _tier_select(86400, "tiered_1d"),
+                _tier_select(900, "15min", "q"),
+                _tier_select(3600, "1h", "h"),
+                _tier_select(86400, "1d", "d"),
+                # integer sketch sums are exact, so the COMPOSED 1d
+                # sketches must equal the direct-1d replay
+                _tier_select(86400, "tiered_1d", "d"),
                 gap_sel_1d,
                 gap_sel_1h,
             ]

@@ -109,3 +109,53 @@ def test_gapfill_semantics(spark):
         rollup.gapfill(df, 900, fill={"avg_val": "nearest"})
     with pytest.raises(ValueError, match="not in frame"):
         rollup.gapfill(df, 900, fill={"nope": "locf"})
+
+
+def test_hist_sketch_composes_and_quantiles(spark):
+    """Fixed-bin histogram sketches: 1d composed from 1h == 1d direct
+    (exact integer sums), quantile bins match numpy order statistics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 8000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": (np.arange(n) % 4).astype(str),
+            "ts": pd.to_datetime(np.arange(n) * 137, unit="s"),
+            "value": rng.normal(12, 6, n).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    h1 = rollup.hist_points(df, 3600, value_col="value")
+    direct = {
+        (r["doc_id"], r["bucket_start"]): list(r["hist"])
+        for r in rollup.hist_points(df, 86400, value_col="value").collect()
+    }
+    composed = {
+        (r["doc_id"], r["bucket_start"]): list(r["hist"])
+        for r in rollup.hist_from_hist(h1, 86400).collect()
+    }
+    assert composed == direct and len(direct) > 4
+
+    st = rollup.hist_stats(
+        rollup.hist_points(df, 86400, value_col="value")
+    ).toPandas()
+    row = st.iloc[0]
+    day = row["bucket_start"].timestamp()
+    sub = pdf[pdf.doc_id == row["doc_id"]]
+    sub = sub[(sub.ts.astype("int64") // 10**9 // 86400 * 86400) == day]
+    bins = np.clip(np.floor((sub.value + 5) / 35 * 32).astype(int), 0, 31)
+    cum = np.bincount(bins, minlength=32).cumsum()
+    assert int(row["p50_bin"]) == int(np.argmax(100 * cum >= 50 * cum[-1]))
+    assert int(row["p95_bin"]) == int(np.argmax(100 * cum >= 95 * cum[-1]))
+    assert int(row["hist_checksum"]) == int((bins + 1).sum())
+    # empty/NULL-only bucket: zero checksum, NULL quantile bins
+    null_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["z"], "ts": pd.to_datetime([0], unit="s"),
+                      "value": [None]}).astype({"value": "float64"})
+    )
+    zrow = rollup.hist_stats(
+        rollup.hist_points(null_df, 86400, value_col="value")
+    ).collect()[0]
+    assert zrow["hist_checksum"] == 0 and zrow["p50_bin"] is None
