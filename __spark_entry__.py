@@ -166,6 +166,8 @@ def _rollup_gate_cols(agg_with_stats):
         F.round("avg_val", 6).alias("avg_val"),
         F.round("min_val", 6).alias("min_val"),
         F.round("max_val", 6).alias("max_val"),
+        F.round("open_val", 6).alias("open_val"),
+        F.round("close_val", 6).alias("close_val"),
         "hist_checksum",
         "p50_bin",
         "p95_bin",
@@ -180,7 +182,9 @@ def _rollup(spark, sf_dir, tier, df=None):
 
     if df is None:
         df = _events_long(spark, sf_dir)
-    out = rollup.rollup_points(df, tier, value_col="value", hist=HIST)
+    out = rollup.rollup_points(
+        df, tier, value_col="value", hist=HIST, order_col="pos"
+    )
     return _rollup_gate_cols(rollup.hist_stats(out))
 
 
@@ -204,7 +208,9 @@ def q_rollup_tiered_1d(spark, sf_dir, df=None):
     # the direct 1d row-set — the driver-checked mergeability proof
     if df is None:
         df = _events_long(spark, sf_dir)
-    h1 = rollup.rollup_points(df, 3600, value_col="value", hist=HIST)
+    h1 = rollup.rollup_points(
+        df, 3600, value_col="value", hist=HIST, order_col="pos"
+    )
     d1 = rollup.rollup_from_rollup(h1.drop("tier"), 86400)
     return _rollup_gate_cols(rollup.hist_stats(d1))
 
@@ -274,8 +280,10 @@ def _gapfill_parts(gf):
         F.round("min_val", 6).alias("min_val"),
         F.round("max_val", 6).alias("max_val"),
         "is_gap",
-        # sketch columns ride only the tier row-sets (a synthesized gap
-        # bucket has no histogram to interpolate)
+        # sketch/OHLC columns ride only the tier row-sets (a synthesized
+        # gap bucket has no histogram or first/last value)
+        F.lit(None).cast("double").alias("open_val"),
+        F.lit(None).cast("double").alias("close_val"),
         F.lit(None).cast("long").alias("hist_checksum"),
         F.lit(None).cast("int").alias("p50_bin"),
         F.lit(None).cast("int").alias("p95_bin"),
@@ -1870,6 +1878,8 @@ SELECT '{label}' AS tier, t.doc_id,
        ROUND(AVG(t.value), 6) AS avg_val,
        ROUND(MIN(t.value), 6) AS min_val,
        ROUND(MAX(t.value), 6) AS max_val,
+       ROUND(arg_min(t.value, t.pos), 6) AS open_val,
+       ROUND(arg_max(t.value, t.pos), 6) AS close_val,
        FALSE AS is_gap,
        CAST(COALESCE(ANY_VALUE(h.hist_checksum), 0) AS BIGINT) AS hist_checksum,
        ANY_VALUE(h.p50_bin) AS p50_bin,
@@ -1928,6 +1938,8 @@ SELECT 'gapfill_1d' AS tier, doc_id, b AS bucket_s,
              ELSE pmn + (nmn - pmn) * (b - pt) / (nt - pt) END, 6) AS min_val,
        ROUND(CASE WHEN mx IS NOT NULL THEN mx
              ELSE pmx + (nmx - pmx) * (b - pt) / (nt - pt) END, 6) AS max_val,
+       CAST(NULL AS DOUBLE) AS open_val,
+       CAST(NULL AS DOUBLE) AS close_val,
        is_gap""" + gap_null_cols + """
 FROM gw1"""
 
@@ -1939,6 +1951,8 @@ SELECT 'gapfill_1h_s25' AS tier, doc_id, b AS bucket_s,
        ROUND(CASE WHEN mn IS NOT NULL THEN mn
              ELSE pmn + (nmn - pmn) * (b - pt) / (nt - pt) END, 6) AS min_val,
        ROUND(mx, 6) AS max_val,
+       CAST(NULL AS DOUBLE) AS open_val,
+       CAST(NULL AS DOUBLE) AS close_val,
        is_gap""" + gap_null_cols + """
 FROM gw2"""
 

@@ -40,12 +40,14 @@ def rollup_points(
     ts_col: str = "ts",
     key: str = "doc_id",
     hist: tuple | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Fact rows → one aggregate row per (series, bucket). ``hist=(bins,
     lo, hi)`` rides the composable percentile sketch in the SAME hash
     aggregation (32 extra conditional counts — no second corpus pass, no
     join; this is how a continuous aggregate keeps percentile state next
-    to its scalars)."""
+    to its scalars); ``order_col=`` adds OHLC open/close columns (the
+    bucket's first/last value in that order)."""
     aggs = [
         F.count(value_col).alias("cnt"),
         F.sum(value_col).alias("sum_val"),
@@ -53,6 +55,16 @@ def rollup_points(
         F.min(value_col).alias("min_val"),
         F.max(value_col).alias("max_val"),
     ]
+    if order_col is not None:
+        # open/close: the value at the first/last row of the bucket in
+        # order_col order (a unique per-series sequence — pos). With
+        # min/max they make the OHLC candle; both compose exactly
+        # through rollup_from_rollup (value of the earliest/latest finer
+        # bucket), unlike avg which must be recomputed from sums.
+        aggs += [
+            F.min_by(value_col, order_col).alias("open_val"),
+            F.max_by(value_col, order_col).alias("close_val"),
+        ]
     n_bins = 0
     if hist is not None:
         n_bins, lo, hi = hist
@@ -69,14 +81,11 @@ def rollup_points(
         .agg(*aggs)
     )
     if hist is not None:
+        keep = [key, "bucket_start", "cnt", "sum_val", "avg_val", "min_val", "max_val"]
+        if order_col is not None:
+            keep += ["open_val", "close_val"]
         out = out.select(
-            key,
-            "bucket_start",
-            "cnt",
-            "sum_val",
-            "avg_val",
-            "min_val",
-            "max_val",
+            *keep,
             F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias("hist"),
         )
     return out.withColumn("tier", F.lit(int(tier_seconds)))
@@ -94,6 +103,16 @@ def rollup_from_rollup(
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     ]
+    has_ohlc = "open_val" in agg_df.columns
+    if has_ohlc:
+        # the earliest finer bucket's open / latest finer bucket's close —
+        # ordered by the FINE bucket (kept as __fine_b below; the plain
+        # bucket_start column is overwritten with the coarse bucket and
+        # would be constant within the group)
+        aggs += [
+            F.min_by("open_val", "__fine_b").alias("open_val"),
+            F.max_by("close_val", "__fine_b").alias("close_val"),
+        ]
     has_hist = "hist" in agg_df.columns
     if has_hist:
         aggs.append(
@@ -106,10 +125,15 @@ def rollup_from_rollup(
             ).alias("hist")
         )
     cols = [key, "bucket_start", "cnt", "sum_val", "avg_val", "min_val", "max_val"]
+    if has_ohlc:
+        cols += ["open_val", "close_val"]
     if has_hist:
         cols.append("hist")
+    src = agg_df
+    if has_ohlc:
+        src = src.withColumn("__fine_b", F.col("bucket_start"))
     return (
-        agg_df.withColumn("bucket_start", bucket_col("bucket_start", tier_seconds))
+        src.withColumn("bucket_start", bucket_col("bucket_start", tier_seconds))
         .groupBy(key, "bucket_start")
         .agg(*aggs)
         .withColumn("avg_val", F.col("sum_val") / F.col("cnt"))

@@ -159,3 +159,33 @@ def test_hist_sketch_composes_and_quantiles(spark):
         rollup.hist_points(null_df, 86400, value_col="value")
     ).collect()[0]
     assert zrow["hist_checksum"] == 0 and zrow["p50_bin"] is None
+
+
+def test_ohlc_composes(spark):
+    """open/close (order_col=) per bucket; cascade composition = the
+    earliest finer bucket's open / latest finer bucket's close == the
+    direct coarse computation."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 6,
+            "pos": range(6),
+            "ts": pd.to_datetime([0, 700, 1700, 3700, 5000, 86500], unit="s"),
+            "value": [5.0, 2.0, 9.0, 1.0, 7.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = rollup.rollup_points(df, 900, value_col="value", order_col="pos")
+    got = {
+        int(r["bucket_start"].timestamp()): (r["open_val"], r["close_val"])
+        for r in q.collect()
+    }
+    assert got[0] == (5.0, 2.0) and got[900] == (9.0, 9.0)
+    direct_1d = rollup.rollup_points(df, 86400, value_col="value", order_col="pos")
+    composed_1d = rollup.rollup_from_rollup(q.drop("tier"), 86400)
+    d = {int(r["bucket_start"].timestamp()): (r["open_val"], r["close_val"])
+         for r in direct_1d.collect()}
+    c = {int(r["bucket_start"].timestamp()): (r["open_val"], r["close_val"])
+         for r in composed_1d.collect()}
+    assert d == c == {0: (5.0, 7.0), 86400: (3.0, 3.0)}
