@@ -168,6 +168,7 @@ def _rollup_gate_cols(agg_with_stats):
         F.round("max_val", 6).alias("max_val"),
         F.round("open_val", 6).alias("open_val"),
         F.round("close_val", 6).alias("close_val"),
+        F.round("counter_delta", 6).alias("counter_delta"),
         "hist_checksum",
         "p50_bin",
         "p95_bin",
@@ -182,8 +183,10 @@ def _rollup(spark, sf_dir, tier, df=None):
 
     if df is None:
         df = _events_long(spark, sf_dir)
+    inc = rollup.with_counter_increments(df, value_col="value", order_col="pos")
     out = rollup.rollup_points(
-        df, tier, value_col="value", hist=HIST, order_col="pos"
+        inc, tier, value_col="value", hist=HIST, order_col="pos",
+        sum_cols={"increment": "counter_delta"},
     )
     return _rollup_gate_cols(rollup.hist_stats(out))
 
@@ -208,10 +211,14 @@ def q_rollup_tiered_1d(spark, sf_dir, df=None):
     # the direct 1d row-set — the driver-checked mergeability proof
     if df is None:
         df = _events_long(spark, sf_dir)
+    inc = rollup.with_counter_increments(df, value_col="value", order_col="pos")
     h1 = rollup.rollup_points(
-        df, 3600, value_col="value", hist=HIST, order_col="pos"
+        inc, 3600, value_col="value", hist=HIST, order_col="pos",
+        sum_cols={"increment": "counter_delta"},
     )
-    d1 = rollup.rollup_from_rollup(h1.drop("tier"), 86400)
+    d1 = rollup.rollup_from_rollup(
+        h1.drop("tier"), 86400, sum_cols=("counter_delta",)
+    )
     return _rollup_gate_cols(rollup.hist_stats(d1))
 
 
@@ -284,6 +291,7 @@ def _gapfill_parts(gf):
         # gap bucket has no histogram or first/last value)
         F.lit(None).cast("double").alias("open_val"),
         F.lit(None).cast("double").alias("close_val"),
+        F.lit(None).cast("double").alias("counter_delta"),
         F.lit(None).cast("long").alias("hist_checksum"),
         F.lit(None).cast("int").alias("p50_bin"),
         F.lit(None).cast("int").alias("p95_bin"),
@@ -1846,6 +1854,15 @@ SELECT doc_id, pos,
 FROM lg
 """
 
+    CINC_CTE = """
+, cinc AS (
+  SELECT doc_id, ts, pos, value,
+         CASE WHEN LAG(value) OVER w IS NULL OR value IS NULL THEN 0.0
+              WHEN value >= LAG(value) OVER w THEN value - LAG(value) OVER w
+              ELSE value END AS increment
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)"""
+
     def _hist_ctes(n: str, tier: int) -> str:
         # fixed-bin histogram replay: bin = clamp(floor((v+5)/35·32));
         # checksum is per-row additive (Σ bin+1); the quantile bin is the
@@ -1880,11 +1897,12 @@ SELECT '{label}' AS tier, t.doc_id,
        ROUND(MAX(t.value), 6) AS max_val,
        ROUND(arg_min(t.value, t.pos), 6) AS open_val,
        ROUND(arg_max(t.value, t.pos), 6) AS close_val,
+       ROUND(SUM(t.increment), 6) AS counter_delta,
        FALSE AS is_gap,
        CAST(COALESCE(ANY_VALUE(h.hist_checksum), 0) AS BIGINT) AS hist_checksum,
        ANY_VALUE(h.p50_bin) AS p50_bin,
        ANY_VALUE(h.p95_bin) AS p95_bin
-FROM base t
+FROM cinc t
 LEFT JOIN hp{hn} h ON h.doc_id = t.doc_id
              AND h.bucket_s = CAST(FLOOR(EPOCH(t.ts) / {tier}) * {tier} AS BIGINT)
 GROUP BY t.doc_id, CAST(FLOOR(EPOCH(t.ts) / {tier}) * {tier} AS BIGINT)"""
@@ -1940,6 +1958,7 @@ SELECT 'gapfill_1d' AS tier, doc_id, b AS bucket_s,
              ELSE pmx + (nmx - pmx) * (b - pt) / (nt - pt) END, 6) AS max_val,
        CAST(NULL AS DOUBLE) AS open_val,
        CAST(NULL AS DOUBLE) AS close_val,
+       CAST(NULL AS DOUBLE) AS counter_delta,
        is_gap""" + gap_null_cols + """
 FROM gw1"""
 
@@ -1953,6 +1972,7 @@ SELECT 'gapfill_1h_s25' AS tier, doc_id, b AS bucket_s,
        ROUND(mx, 6) AS max_val,
        CAST(NULL AS DOUBLE) AS open_val,
        CAST(NULL AS DOUBLE) AS close_val,
+       CAST(NULL AS DOUBLE) AS counter_delta,
        is_gap""" + gap_null_cols + """
 FROM gw2"""
 
@@ -1963,6 +1983,7 @@ FROM gw2"""
         BASE_SQL
         + _gapfill_ctes("1", 86400)
         + _gapfill_ctes("2", 3600, "WHERE CAST(doc_id AS BIGINT) % 25 = 0")
+        + CINC_CTE
         + _hist_ctes("q", 900)
         + _hist_ctes("h", 3600)
         + _hist_ctes("d", 86400)

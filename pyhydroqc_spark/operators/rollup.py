@@ -41,13 +41,16 @@ def rollup_points(
     key: str = "doc_id",
     hist: tuple | None = None,
     order_col: str | None = None,
+    sum_cols: dict | None = None,
 ) -> DataFrame:
     """Fact rows → one aggregate row per (series, bucket). ``hist=(bins,
     lo, hi)`` rides the composable percentile sketch in the SAME hash
     aggregation (32 extra conditional counts — no second corpus pass, no
     join; this is how a continuous aggregate keeps percentile state next
     to its scalars); ``order_col=`` adds OHLC open/close columns (the
-    bucket's first/last value in that order)."""
+    bucket's first/last value in that order); ``sum_cols={in: out}``
+    rides extra plain sums (e.g. counter increments) in the same
+    aggregation."""
     aggs = [
         F.count(value_col).alias("cnt"),
         F.sum(value_col).alias("sum_val"),
@@ -65,6 +68,8 @@ def rollup_points(
             F.min_by(value_col, order_col).alias("open_val"),
             F.max_by(value_col, order_col).alias("close_val"),
         ]
+    for c_in, c_out in (sum_cols or {}).items():
+        aggs.append(F.sum(c_in).alias(c_out))
     n_bins = 0
     if hist is not None:
         n_bins, lo, hi = hist
@@ -84,6 +89,7 @@ def rollup_points(
         keep = [key, "bucket_start", "cnt", "sum_val", "avg_val", "min_val", "max_val"]
         if order_col is not None:
             keep += ["open_val", "close_val"]
+        keep += list((sum_cols or {}).values())
         out = out.select(
             *keep,
             F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias("hist"),
@@ -92,17 +98,23 @@ def rollup_points(
 
 
 def rollup_from_rollup(
-    agg_df: DataFrame, tier_seconds: int, key: str = "doc_id"
+    agg_df: DataFrame,
+    tier_seconds: int,
+    key: str = "doc_id",
+    sum_cols: tuple = (),
 ) -> DataFrame:
     """Re-aggregate a finer tier into a coarser one (1h←15min, 1d←1h).
     A ``hist`` sketch column, when present, composes by exact elementwise
-    integer sum — the property raw percentiles lack."""
+    integer sum — the property raw percentiles lack; ``sum_cols`` names
+    extra columns that compose by plain sum (counter deltas)."""
     aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("sum_val").alias("sum_val"),
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     ]
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(c))
     has_ohlc = "open_val" in agg_df.columns
     if has_ohlc:
         # the earliest finer bucket's open / latest finer bucket's close —
@@ -125,6 +137,7 @@ def rollup_from_rollup(
             ).alias("hist")
         )
     cols = [key, "bucket_start", "cnt", "sum_val", "avg_val", "min_val", "max_val"]
+    cols += list(sum_cols)
     if has_ohlc:
         cols += ["open_val", "close_val"]
     if has_hist:
@@ -384,3 +397,39 @@ def hist_stats(hist_df: DataFrame, quantiles=(0.5, 0.95)) -> DataFrame:
         )
         qcols.append(fold["b"].cast("int").alias(f"p{qi}_bin"))
     return out.select("*", *qcols)
+
+
+# -- counter aggregates (Prometheus increase() / TimescaleDB counter_agg) ----
+
+
+def with_counter_increments(
+    df: DataFrame,
+    value_col: str = "det_cor",
+    key: str = "doc_id",
+    order_col: str = "ts",
+    out_col: str = "increment",
+    reset_aware: bool = True,
+) -> DataFrame:
+    """Per-row counter increment under monotonic-counter semantics: the
+    rise since the previous sample, and on a reset (value < previous —
+    the process restarted and the counter rebooted at 0) the new value
+    itself counts as the increase (the Prometheus ``increase()`` rule).
+    First sample of a series contributes 0.
+
+    Computed BEFORE bucketing, so bucket sums of the increment column
+    compose exactly through every tier (the per-row increment at a
+    bucket boundary belongs to the row's own bucket, and a coarser
+    bucket's delta is the plain sum of its finer buckets' deltas —
+    unlike max-minus-min-per-bucket, which loses cross-boundary rises).
+    One window (exchange+sort per key), then it rides any rollup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    prev = F.lag(value_col).over(w)
+    v = F.col(value_col)
+    inc = (
+        F.when(prev.isNull() | v.isNull(), F.lit(0.0))
+        .when(v >= prev, v - prev)
+        .otherwise(v if reset_aware else F.lit(0.0))
+    )
+    return df.withColumn(out_col, inc)

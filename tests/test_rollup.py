@@ -189,3 +189,36 @@ def test_ohlc_composes(spark):
     c = {int(r["bucket_start"].timestamp()): (r["open_val"], r["close_val"])
          for r in composed_1d.collect()}
     assert d == c == {0: (5.0, 7.0), 86400: (3.0, 3.0)}
+
+
+def test_counter_increments_reset_rule(spark):
+    """Prometheus increase() semantics: rises accumulate, a reset
+    (value < previous) contributes the new value; bucket deltas compose
+    by plain sum through the cascade."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 6,
+            "pos": range(6),
+            "ts": pd.to_datetime([0, 600, 1200, 3700, 4200, 90000], unit="s"),
+            "value": [10.0, 15.0, 3.0, 8.0, 8.0, 1.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    inc = rollup.with_counter_increments(df, value_col="value", order_col="pos")
+    got = {r["pos"]: r["increment"] for r in inc.collect()}
+    #     first  +5   reset->3  +5   flat  reset->1
+    assert got == {0: 0.0, 1: 5.0, 2: 3.0, 3: 5.0, 4: 0.0, 5: 1.0}
+    q = rollup.rollup_points(
+        inc, 900, value_col="value", sum_cols={"increment": "counter_delta"}
+    )
+    per_bucket = {
+        int(r["bucket_start"].timestamp()): r["counter_delta"] for r in q.collect()
+    }
+    assert per_bucket == {0: 8.0, 3600: 5.0, 89100: 1.0}
+    d = rollup.rollup_from_rollup(q.drop("tier"), 86400, sum_cols=("counter_delta",))
+    per_day = {
+        int(r["bucket_start"].timestamp()): r["counter_delta"] for r in d.collect()
+    }
+    assert per_day == {0: 13.0, 86400: 1.0}
