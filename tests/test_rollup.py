@@ -216,7 +216,7 @@ def test_counter_increments_reset_rule(spark):
     per_bucket = {
         int(r["bucket_start"].timestamp()): r["counter_delta"] for r in q.collect()
     }
-    assert per_bucket == {0: 8.0, 3600: 5.0, 89100: 1.0}
+    assert per_bucket == {0: 5.0, 900: 3.0, 3600: 5.0, 90000: 1.0}
     d = rollup.rollup_from_rollup(q.drop("tier"), 86400, sum_cols=("counter_delta",))
     per_day = {
         int(r["bucket_start"].timestamp()): r["counter_delta"] for r in d.collect()
