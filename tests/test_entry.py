@@ -39,7 +39,7 @@ QUERIES = entrymod.queries()
 # FULL_CONTRACT=1 to sweep everything (what check_contract does anyway).
 _SMOKE = [
     "range_counts", "rollup_tiers", "dynamic_threshold", "point_metrics",
-    "find_gaps", "ar11_residuals", "dedup_groups", "dup_keep_list",
+    "find_gaps", "ar11_residuals", "dedup_groups",
     "lang_stats", "doc_profile", "ann_topk", "comp_roundtrip",
     "streaming_detect",
 ]

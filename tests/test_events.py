@@ -50,7 +50,7 @@ def test_anomaly_events_parity(spark, wf):
             assert got == list(exp), (d, wf)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(st.lists(st.booleans(), min_size=1, max_size=60), st.integers(0, 4))
 def test_anomaly_events_hypothesis(spark, flags, wf):
     df = _to_df(spark, {"x": [int(f) for f in flags]})
@@ -70,7 +70,7 @@ def test_anomaly_events_hypothesis(spark, flags, wf):
         assert got == list(exp)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(st.lists(st.booleans(), min_size=1, max_size=50))
 def test_group_bools_hypothesis(spark, flags):
     df = _to_df(spark, {"x": [int(f) for f in flags]})

@@ -174,7 +174,7 @@ def test_fused_modes_equal_native(spark, tmp_path):
             )
 
 
-@pytest.mark.parametrize("mode", ["native", "fused", "fused_cells"])
+@pytest.mark.parametrize("mode", ["native", "fused_cells"])
 def test_tier_blob_compression_roundtrips(spark, tmp_path, mode):
     """north_rule: compression per retention tier — every tier table gets a
     companion blob table whose delta-of-delta timestamps and quantized
