@@ -42,6 +42,7 @@ def rollup_points(
     hist: tuple | None = None,
     order_col: str | None = None,
     sum_cols: dict | None = None,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Fact rows → one aggregate row per (series, bucket). ``hist=(bins,
     lo, hi)`` rides the composable percentile sketch in the SAME hash
@@ -50,7 +51,10 @@ def rollup_points(
     to its scalars); ``order_col=`` adds OHLC open/close columns (the
     bucket's first/last value in that order); ``sum_cols={in: out}``
     rides extra plain sums (e.g. counter increments) in the same
-    aggregation."""
+    aggregation; ``distinct_col=`` adds a mergeable HLL distinct-count
+    sketch (``uniq_sketch``, Spark's native DataSketches aggregate) —
+    like the histogram, distinct counts per bucket cannot compose
+    tier-from-tier as scalars, but the sketches union exactly."""
     aggs = [
         F.count(value_col).alias("cnt"),
         F.sum(value_col).alias("sum_val"),
@@ -70,6 +74,13 @@ def rollup_points(
         ]
     for c_in, c_out in (sum_cols or {}).items():
         aggs.append(F.sum(c_in).alias(c_out))
+    if distinct_col is not None:
+        # hll_sketch_agg takes int/long/string/binary only — hash any
+        # type to a stable 64-bit key first (distinct-of-hashes equals
+        # distinct up to collisions far below the sketch's own error)
+        aggs.append(
+            F.hll_sketch_agg(F.xxhash64(distinct_col)).alias("uniq_sketch")
+        )
     n_bins = 0
     if hist is not None:
         n_bins, lo, hi = hist
@@ -90,6 +101,8 @@ def rollup_points(
         if order_col is not None:
             keep += ["open_val", "close_val"]
         keep += list((sum_cols or {}).values())
+        if distinct_col is not None:
+            keep.append("uniq_sketch")
         out = out.select(
             *keep,
             F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias("hist"),
@@ -115,6 +128,9 @@ def rollup_from_rollup(
     ]
     for c in sum_cols:
         aggs.append(F.sum(c).alias(c))
+    has_uniq = "uniq_sketch" in agg_df.columns
+    if has_uniq:
+        aggs.append(F.hll_union_agg("uniq_sketch").alias("uniq_sketch"))
     has_ohlc = "open_val" in agg_df.columns
     if has_ohlc:
         # the earliest finer bucket's open / latest finer bucket's close —
@@ -142,6 +158,8 @@ def rollup_from_rollup(
         cols += ["open_val", "close_val"]
     if has_hist:
         cols.append("hist")
+    if has_uniq:
+        cols.append("uniq_sketch")
     src = agg_df
     if has_ohlc:
         src = src.withColumn("__fine_b", F.col("bucket_start"))
@@ -433,3 +451,9 @@ def with_counter_increments(
         .otherwise(v if reset_aware else F.lit(0.0))
     )
     return df.withColumn(out_col, inc)
+
+
+def uniq_estimate(agg_df: DataFrame, out_col: str = "uniq_est") -> DataFrame:
+    """Read-side distinct-count estimate from the ``uniq_sketch`` column
+    (±~1.6% at the default lgK=12; 2-4 KB of state per bucket)."""
+    return agg_df.withColumn(out_col, F.hll_sketch_estimate("uniq_sketch"))

@@ -222,3 +222,30 @@ def test_counter_increments_reset_rule(spark):
         int(r["bucket_start"].timestamp()): r["counter_delta"] for r in d.collect()
     }
     assert per_day == {0: 13.0, 86400: 1.0}
+
+
+def test_hll_distinct_sketch_composes(spark):
+    """uniq_sketch (native DataSketches HLL): the 1d estimate from
+    UNIONED 1h sketches equals the direct-1d estimate exactly (same
+    sketch state), and lands within 5% of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(40000).select(
+        F.lit("a").alias("doc_id"),
+        F.col("id").alias("pos"),
+        F.timestamp_seconds(F.col("id") * 3).alias("ts"),
+        (F.col("id") % 4321).cast("double").alias("value"),
+    )
+    h1 = rollup.rollup_points(df, 3600, value_col="value", distinct_col="value")
+    direct = rollup.uniq_estimate(
+        rollup.rollup_points(df, 86400, value_col="value", distinct_col="value")
+    ).select("bucket_start", "uniq_est")
+    composed = rollup.uniq_estimate(
+        rollup.rollup_from_rollup(h1.drop("tier"), 86400)
+    ).select("bucket_start", "uniq_est")
+    d = {r["bucket_start"]: r["uniq_est"] for r in direct.collect()}
+    c = {r["bucket_start"]: r["uniq_est"] for r in composed.collect()}
+    assert d == c and len(d) >= 2
+    total = sum(d.values())
+    # day 1 sees 0..28799 -> 4321 distinct; day 2 the rest -> 4321 distinct
+    assert abs(total - 2 * 4321) / (2 * 4321) < 0.05
