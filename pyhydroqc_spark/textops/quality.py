@@ -363,7 +363,11 @@ def gopher_filter(
     curation run reports."""
     w = _words(text_col)
     nw = F.size(w)
-    avg_wl = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / nw
+    # empty documents (a C4-cleaned page can lose every line) must FAIL
+    # the word_count rule, not blow up the ANSI divide — ratio
+    # denominators are clamped to 1, the count checks still see 0
+    nw_d = F.greatest(nw, F.lit(1))
+    avg_wl = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / nw_d
     n_symbols = (
         F.length(text_col)
         - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
@@ -374,14 +378,14 @@ def gopher_filter(
         / 3
     )
     lines = F.split(F.col(text_col), r"\n")
-    n_lines = F.size(lines)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
     ) / n_lines
     ellipsis_frac = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
     ) / n_lines
-    alpha_frac = F.size(F.filter(w, lambda x: x.rlike(r"[a-z]"))) / nw
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike(r"[a-z]"))) / nw_d
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(w),
@@ -392,7 +396,7 @@ def gopher_filter(
     checks = [
         ("word_count", (nw >= min_words) & (nw <= max_words)),
         ("avg_word_len", (avg_wl >= min_avg_word_len) & (avg_wl <= max_avg_word_len)),
-        ("symbol_ratio", (n_symbols / nw) <= max_symbol_word_ratio),
+        ("symbol_ratio", (n_symbols / nw_d) <= max_symbol_word_ratio),
         ("bullet_lines", bullet_frac <= max_bullet_line_frac),
         ("ellipsis_lines", ellipsis_frac <= max_ellipsis_line_frac),
         ("alpha_words", alpha_frac >= min_alpha_word_frac),

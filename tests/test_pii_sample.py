@@ -238,3 +238,69 @@ def test_dedup_stream_replay_safe(spark, tmp_path):
     )
     assert sorted(tuple(r) for r in d2.collect()) == first
     s2.unpersist()
+
+
+def test_curate_stack_reasons(spark):
+    """curate(): one call through scrub -> C4 -> span-strip -> gopher ->
+    decontam -> near-dup; every drop carries its diagnosis and the
+    rewritten text is PII-redacted."""
+    from pyhydroqc_spark.textops import curate
+
+    sent = "the quick brown fox jumps over the lazy dog and that is fine."
+    mk = lambda n: "\n".join(
+        f"{sent} number {i} of this very ordinary document text." for i in range(n)
+    )
+    # the benchmark uses ITS OWN long sentence so only doc 4 shares a
+    # 13-gram with it (every mk() doc contains 13-grams of `sent` itself)
+    bsent = (
+        "when the river rises above the old stone bridge the village "
+        "bells ring out across the quiet valley for everyone to hear."
+    )
+    bench_text = "\n".join(f"{bsent} entry {i} follows here." for i in range(8))
+    rows = [
+        (0, mk(10) + "\nwrite to alice@example.org with your answer please."),
+        (1, mk(12)),
+        (2, mk(12)),                       # exact dup of 1 after cleaning
+        (3, "lorem ipsum dolor sit amet.\n" + mk(9)),   # C4 page drop
+        (4, bench_text),                   # contaminated vs bench
+        (5, "short doc."),                 # gopher word_count
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(
+        pd.DataFrame([(99, bench_text)], columns=["doc_id", "text"])
+    )
+    out = curate.curate(
+        docs,
+        bench_df=bench,
+        gopher_kwargs={"min_words": 30, "min_avg_word_len": 2.0,
+                       "max_top2gram_frac": 1.0, "max_dup5gram_frac": 1.0},
+        strip_spans=False,  # the repeated sentence IS the content here
+        near_dup="exact",
+    ).toPandas().set_index("id").sort_index()
+
+    assert "<PII_EMAIL>" in out.loc[0, "text"] and "alice@" not in out.loc[0, "text"]
+    # the identical doc dies EARLIER than the dedup stage: C4's corpus-
+    # level keep-one line dedup strips every line doc 2 shares with doc 1
+    # (stage interplay, not a bug) — doc 1 survives, doc 2 does not
+    assert bool(out.loc[1, "keep"]) and not bool(out.loc[2, "keep"])
+    assert "c4_page" in list(out.loc[3, "reasons"])
+    assert "contaminated" in list(out.loc[4, "reasons"])
+    assert "gopher:word_count" in list(out.loc[5, "reasons"])
+    assert bool(out.loc[0, "keep"])
+
+    rep = {r["reason"]: r["n_docs"] for r in curate.drop_report(
+        curate.curate(docs, bench_df=bench, near_dup="exact")
+    ).collect()}
+    assert rep.get("c4_page", 0) >= 1
+
+    # the near-dup reason path, isolated from C4's line dedup
+    mini = spark.createDataFrame(
+        pd.DataFrame([(10, mk(6)), (11, mk(6)), (12, bench_text)],
+                     columns=["doc_id", "text"])
+    )
+    nd = curate.curate(
+        mini, c4=False, strip_spans=False, gopher=False, near_dup="exact"
+    ).toPandas().set_index("id").sort_index()
+    assert bool(nd.loc[10, "keep"]) and not bool(nd.loc[11, "keep"])
+    assert list(nd.loc[11, "reasons"]) == ["near_dup"]
+    assert bool(nd.loc[12, "keep"])
