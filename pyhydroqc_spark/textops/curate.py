@@ -127,9 +127,14 @@ def curate(
                 ).alias("__r"),
             )
         )
+    # an EMPTY rewritten doc (C4 can strip every line) carries nothing to
+    # deduplicate and is already diagnosed by the quality gates — and at
+    # corpus scale a million empty strings are one giant identical-
+    # signature bucket (a quadratic pair enumeration for zero information)
+    nonempty = cur.where(F.length("text") > 0)
     if near_dup == "minhash":
         sig = dedup.minhash_signatures(
-            cur, id_col="id", text_col="text", hash_fn=hash_fn
+            nonempty, id_col="id", text_col="text", hash_fn=hash_fn
         )
         cand = dedup.minhash_candidates(sig, hash_fn=hash_fn)
         verified = (
@@ -150,7 +155,7 @@ def curate(
             )
             .select("id_a", "id_b")
         )
-        comp = dedup.dup_components(verified, corpus=cur, corpus_id="id")
+        comp = dedup.dup_components(verified, corpus=nonempty, corpus_id="id")
         reasons.append(
             comp.select(
                 "id" if "id" in comp.columns else F.col("doc_id").alias("id"),
@@ -161,7 +166,7 @@ def curate(
         from pyspark.sql import Window
 
         w = Window.partitionBy(F.md5("text"))
-        ex = cur.select(
+        ex = nonempty.select(
             "id", (F.col("id") == F.min("id").over(w)).alias("__keep")
         )
         reasons.append(
