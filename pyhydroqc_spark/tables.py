@@ -328,3 +328,40 @@ class SnapshotTable:
                     os.remove(fp)
                     removed.append(fp)
         return removed
+
+
+def rewrite_data_files(
+    table: SnapshotTable,
+    spark: SparkSession,
+    target_mb: int = 128,
+    partitions: set | None = None,
+) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` half of
+    table maintenance (``rewrite_manifests`` is the metadata half).
+    Streaming ingest and per-batch overwrites accumulate many small
+    parquet files per partition; at scan time each file is an open cost
+    and a scheduling unit, so a long-lived store slowly turns its reads
+    into small-file storms. This rewrites every partition whose MEAN live
+    file size is under ``target_mb`` into ceil(bytes/target) files, one
+    atomic snapshot per partition (readers pinned to older snapshots are
+    untouched; ``expire_snapshots`` reclaims the replaced files later).
+
+    Only partitions failing the size test are read or written — the
+    check is pure file metadata, no Spark job for healthy partitions.
+    Returns {partition: (files_before, files_after)}."""
+    sid = table.current_snapshot_id()
+    by_part: dict = {}
+    for fp, p in table._load(sid)["files"].items():
+        if p is None or (partitions is not None and p not in partitions):
+            continue
+        by_part.setdefault(p, []).append(fp)
+    out = {}
+    for p, fps in sorted(by_part.items()):
+        total = sum(os.path.getsize(fp) for fp in fps)
+        if len(fps) <= 1 or total / len(fps) >= target_mb * 1024 * 1024:
+            continue
+        n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+        df = spark.read.parquet(*fps).coalesce(int(n_out))
+        table.overwrite_partition(df, p)
+        out[p] = (len(fps), len(table.files_for_partitions({p})))
+    return out
