@@ -280,6 +280,11 @@ def main():
         # r6 late: exact-substring dedup joins the doc_profile gate
         # (dup_spans mark-merge + lang-id + fingerprint + decontamination)
         "doc_profile",
+        # r6 session-4: the as-of join / sessionization gate and the
+        # sampling/mixture gate — both sub-second; rollup_tiers above now
+        # ALSO carries gapfill row-sets + percentile sketches + OHLC +
+        # counter deltas (6 row-sets vs r5's 4: not 1:1 comparable)
+        "business_hours", "lang_stats",
     ]
     if query_names:
         import __spark_entry__ as entrymod

@@ -384,6 +384,27 @@ def main():
         "is gone (measured 26.7× at 100M rows × 4 groups, TEXTOPS.md).\n"
     )
 
+    # 14b. gapfill: the dense grid comes from ONE min/max row per series
+    # (Generate after a tiny aggregate), fills are running-frame windows —
+    # and never a cartesian or a following-unbounded frame.
+    from pyhydroqc_spark.operators import rollup as _rollup
+
+    ev14 = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).selectExpr(
+        "CAST(user_id AS STRING) AS doc_id", "ts", "value"
+    )
+    audit(
+        "rollup.gapfill (dense grid + fills)",
+        _rollup.gapfill(
+            _rollup.rollup_points(ev14, 86400, value_col="value").drop("tier"),
+            86400,
+        ),
+        must=[r"Generate", r"Window"],
+        must_not=[r"CartesianProduct", r"unboundedfollowing"],
+        note="grid = sequence+explode of the per-series (min,max) row; "
+        "both fill directions are running frames (asc+desc), never the "
+        "O(n²) currentRow..unboundedFollowing frame.",
+    )
+
     # 15. as-of join: the union-window shape — NEVER a range join
     # (BroadcastNestedLoop / CartesianProduct), just union + one
     # window sort per key.
