@@ -158,8 +158,16 @@ HIST = (32, -5.0, 30.0)  # (bins, lo, hi) — the composable sketch domain
 
 
 def _rollup_gate_cols(agg_with_stats):
+    # frames aggregated on raw user_id (the exchange-free cached path)
+    # project the string doc_id back here — same values as grouping on
+    # the cast, but the groupBy key matches the checkpoint partitioning
+    doc = (
+        F.col("user_id").cast("string")
+        if "user_id" in agg_with_stats.columns
+        else F.col("doc_id")
+    )
     return agg_with_stats.select(
-        "doc_id",
+        doc.alias("doc_id"),
         F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
         F.col("cnt").cast("long").alias("cnt"),
         F.round("sum_val", 6).alias("sum_val"),
@@ -178,15 +186,22 @@ def _rollup_gate_cols(agg_with_stats):
 def _rollup(spark, sf_dir, tier, df=None):
     """Scalar aggregates AND the percentile sketch in ONE hash
     aggregation (hist= rides the same groupBy — no second pass, no
-    join), stats derived in a projection."""
+    join), stats derived in a projection. A frame that already carries
+    ``increment`` (the cached long frame — computed once in the same
+    window as ``pos``) skips the per-subtree lag window entirely."""
     from pyhydroqc_spark.operators import rollup
 
     if df is None:
         df = _events_long(spark, sf_dir)
-    inc = rollup.with_counter_increments(df, value_col="value", order_col="pos")
+    inc = (
+        df
+        if "increment" in df.columns
+        else rollup.with_counter_increments(df, value_col="value", order_col="pos")
+    )
+    key = "user_id" if "user_id" in df.columns else "doc_id"
     out = rollup.rollup_points(
         inc, tier, value_col="value", hist=HIST, order_col="pos",
-        sum_cols={"increment": "counter_delta"},
+        sum_cols={"increment": "counter_delta"}, key=key,
     )
     return _rollup_gate_cols(rollup.hist_stats(out))
 
@@ -211,13 +226,18 @@ def q_rollup_tiered_1d(spark, sf_dir, df=None):
     # the direct 1d row-set — the driver-checked mergeability proof
     if df is None:
         df = _events_long(spark, sf_dir)
-    inc = rollup.with_counter_increments(df, value_col="value", order_col="pos")
+    inc = (
+        df
+        if "increment" in df.columns
+        else rollup.with_counter_increments(df, value_col="value", order_col="pos")
+    )
+    key = "user_id" if "user_id" in df.columns else "doc_id"
     h1 = rollup.rollup_points(
         inc, 3600, value_col="value", hist=HIST, order_col="pos",
-        sum_cols={"increment": "counter_delta"},
+        sum_cols={"increment": "counter_delta"}, key=key,
     )
     d1 = rollup.rollup_from_rollup(
-        h1.drop("tier"), 86400, sum_cols=("counter_delta",)
+        h1.drop("tier"), 86400, sum_cols=("counter_delta",), key=key
     )
     return _rollup_gate_cols(rollup.hist_stats(d1))
 
@@ -233,10 +253,40 @@ def _rollup_long_cached(spark, sf_dir):
     # that nothing else can silently substitute.
     key = (id(spark), sf_dir)  # a restarted session invalidates old RDDs
     if key not in _ROLLUP_LONG_CACHE:
+        from pyhydroqc_spark.operators.rollup import counter_increment_expr
+
         _ROLLUP_LONG_CACHE.clear()
-        _ROLLUP_LONG_CACHE[key] = _events_long(spark, sf_dir).localCheckpoint(
-            eager=True
+        # pos AND the counter increment in ONE window pass: lag() rides the
+        # same (user_id; ts, event_id) exchange+sort as row_number(), so
+        # the four tier row-sets that need `increment` skip their own
+        # per-subtree lag window (was 4 extra exchange+sorts per gate run).
+        # RAW user_id stays in the frame: localCheckpoint preserves the
+        # window's hashpartitioning(user_id), and every downstream
+        # groupBy(user_id, bucket) / gapfill window / grid join is
+        # satisfied by that clustering — the six row-set subtrees run
+        # exchange-free (doc_id is projected back after aggregation).
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        v = F.col("value")
+        long_inc = ev.select(
+            "user_id",
+            F.col("user_id").cast("string").alias("doc_id"),
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            "ts",
+            "value",
+            counter_increment_expr(v, F.lag("value").over(w)).alias("increment"),
         )
+        # persist, NOT localCheckpoint: the InMemoryRelation advertises the
+        # window's hashpartitioning(user_id) (a LogicalRDD from
+        # localCheckpoint reports UnknownPartitioning), which is what lets
+        # every tier groupBy/gapfill window run exchange-free. Unlike the
+        # r4-era _events_long cache this plan is NOT a subtree any other
+        # query builds (extra user_id/increment columns), so the
+        # CacheManager cannot substitute it elsewhere (ar1_residuals'
+        # no-persist contract stays intact — plan-audited).
+        long_inc = long_inc.persist()
+        long_inc.count()  # eager: concurrent first-use would duplicate work
+        _ROLLUP_LONG_CACHE[key] = long_inc
     return _ROLLUP_LONG_CACHE[key]
 
 
@@ -278,8 +328,13 @@ def q_rollup_tiers(spark, sf_dir):
 
 
 def _gapfill_parts(gf):
+    doc = (
+        F.col("user_id").cast("string")
+        if "user_id" in gf.columns
+        else F.col("doc_id")
+    )
     return gf.select(
-        "doc_id",
+        doc.alias("doc_id"),
         F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
         F.col("cnt").cast("long").alias("cnt"),
         F.round("sum_val", 6).alias("sum_val"),
@@ -303,8 +358,9 @@ def _gapfill_tier(spark, sf_dir, df=None):
 
     if df is None:
         df = _events_long(spark, sf_dir)
-    agg = rollup.rollup_points(df, 86400, value_col="value").drop("tier")
-    return _gapfill_parts(rollup.gapfill(agg, 86400)).withColumn(
+    key = "user_id" if "user_id" in df.columns else "doc_id"
+    agg = rollup.rollup_points(df, 86400, value_col="value", key=key).drop("tier")
+    return _gapfill_parts(rollup.gapfill(agg, 86400, key=key)).withColumn(
         "tier", F.lit("gapfill_1d")
     )
 
@@ -315,10 +371,12 @@ def _gapfill_tier_1h(spark, sf_dir, df=None):
     if df is None:
         df = _events_long(spark, sf_dir)
     df = df.where(F.col("doc_id").cast("long") % 25 == 0)
-    agg = rollup.rollup_points(df, 3600, value_col="value").drop("tier")
+    key = "user_id" if "user_id" in df.columns else "doc_id"
+    agg = rollup.rollup_points(df, 3600, value_col="value", key=key).drop("tier")
     gf = rollup.gapfill(
         agg,
         3600,
+        key=key,
         fill={
             "cnt": "zero",
             "sum_val": "zero",

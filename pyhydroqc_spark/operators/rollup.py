@@ -420,6 +420,18 @@ def hist_stats(hist_df: DataFrame, quantiles=(0.5, 0.95)) -> DataFrame:
 # -- counter aggregates (Prometheus increase() / TimescaleDB counter_agg) ----
 
 
+def counter_increment_expr(v, prev, reset_aware: bool = True):
+    """The per-row counter-increment column expression given the value and
+    its within-series predecessor — exposed so callers that already pay a
+    window over (key, order) (e.g. a row_number pass) can ride the SAME
+    exchange+sort instead of adding a second one (guide §2.4)."""
+    return (
+        F.when(prev.isNull() | v.isNull(), F.lit(0.0))
+        .when(v >= prev, v - prev)
+        .otherwise(v if reset_aware else F.lit(0.0))
+    )
+
+
 def with_counter_increments(
     df: DataFrame,
     value_col: str = "det_cor",
@@ -445,12 +457,7 @@ def with_counter_increments(
     w = Window.partitionBy(key).orderBy(order_col)
     prev = F.lag(value_col).over(w)
     v = F.col(value_col)
-    inc = (
-        F.when(prev.isNull() | v.isNull(), F.lit(0.0))
-        .when(v >= prev, v - prev)
-        .otherwise(v if reset_aware else F.lit(0.0))
-    )
-    return df.withColumn(out_col, inc)
+    return df.withColumn(out_col, counter_increment_expr(v, prev, reset_aware))
 
 
 def uniq_estimate(agg_df: DataFrame, out_col: str = "uniq_est") -> DataFrame:
