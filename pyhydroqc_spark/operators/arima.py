@@ -477,20 +477,37 @@ def forecast_arima(x: np.ndarray, l: int, order=None, order_search: str = "grid"
         p, d, q = auto_order(x)
     y = _diff(x, d)
     c, phi, theta = fit_arma(y, p, q, intercept=(d == 0))
-    _, e = arma_one_step(y, c, phi, theta)
-    hist_y = list(y)
-    hist_e = list(e)
-    out_y = []
-    for _ in range(l):
-        acc = c
-        for j in range(len(phi)):
-            acc += phi[j] * hist_y[-j - 1] if len(hist_y) > j else 0.0
-        for j in range(len(theta)):
-            acc += theta[j] * hist_e[-j - 1] if len(hist_e) > j else 0.0
-        out_y.append(acc)
-        hist_y.append(acc)
-        hist_e.append(0.0)
-    out_y = np.asarray(out_y)
+    if q == 0:
+        # AR-only fast path (the correction loop's hot case): future
+        # innovations are 0 and theta is empty, so the in-sample residual
+        # pass and the full-window history list are dead work — keep only
+        # the last p observations and run the identical recursion (same
+        # floats, same index guards as the general path below)
+        hist_y = list(y[-max(p, 1):])
+        ny = len(y)
+        out_y = []
+        for _ in range(l):
+            acc = c
+            for j in range(len(phi)):
+                acc += phi[j] * hist_y[-j - 1] if ny + len(out_y) > j else 0.0
+            out_y.append(acc)
+            hist_y.append(acc)
+        out_y = np.asarray(out_y)
+    else:
+        _, e = arma_one_step(y, c, phi, theta)
+        hist_y = list(y)
+        hist_e = list(e)
+        out_y = []
+        for _ in range(l):
+            acc = c
+            for j in range(len(phi)):
+                acc += phi[j] * hist_y[-j - 1] if len(hist_y) > j else 0.0
+            for j in range(len(theta)):
+                acc += theta[j] * hist_e[-j - 1] if len(hist_e) > j else 0.0
+            out_y.append(acc)
+            hist_y.append(acc)
+            hist_e.append(0.0)
+        out_y = np.asarray(out_y)
     if d == 0:
         return out_y
     if d == 1:

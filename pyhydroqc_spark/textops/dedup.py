@@ -180,6 +180,7 @@ def dup_components(
     max_iter: int = 20,
     corpus: DataFrame | None = None,
     corpus_id: str = "doc_id",
+    local_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → canonical keep-list.
 
@@ -224,6 +225,62 @@ def dup_components(
         .distinct()
         .persist()
     )
+    # strategy switch on measured size (the AQE broadcast-join idea applied
+    # to an iterative algorithm): the count below materializes the persist
+    # either way — the first propagation round used to pay it implicitly.
+    # A small edge list (default <= 5M rows, ~80 MB of id pairs) is solved
+    # exactly by driver-side union-find in ONE collect instead of
+    # O(log d) rounds x 4 shuffles x (checkpoint + convergence job) each;
+    # output is identical (min reachable id per component is unique).
+    # At corpus scale the distributed loop below remains the path; pass
+    # local_threshold=0 to force it.
+    n_edges = edges.count()
+    if local_threshold and n_edges <= local_threshold:
+        pdf = edges.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN id so every root is the component minimum
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        ids = list(parent)
+        comp = [find(i) for i in ids]
+        edges.unpersist()
+        id_type = pairs.schema[id_a].dataType
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, True),
+                StructField("component", id_type, True),
+                StructField("keep", BooleanType(), True),
+            ]
+        )
+        out = pairs.sparkSession.createDataFrame(
+            [(i, c, i == c) for i, c in zip(ids, comp)], schema=schema
+        )
+        if corpus is not None:
+            cids = corpus.select(F.col(corpus_id).alias("doc_id")).distinct()
+            out = cids.join(out, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+                F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+            )
+        return out
     prev = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -433,7 +433,9 @@ def test_dup_components_pointer_doubling_long_chain(spark):
     )
     got = {
         r["doc_id"]: (r["component"], r["keep"])
-        for r in dedup.dup_components(pairs, max_iter=10).collect()
+        for r in dedup.dup_components(
+            pairs, max_iter=10, local_threshold=0
+        ).collect()
     }
     assert got == {i: (1, i == 1) for i in range(1, n + 1)}
 
@@ -451,7 +453,34 @@ def test_dup_components_nonconvergence_raises(spark):
         pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_components(pairs, max_iter=1).collect()
+        dedup.dup_components(pairs, max_iter=1, local_threshold=0).collect()
+
+
+def test_dup_components_local_matches_iterative(spark):
+    """The size-adaptive driver-side union-find fast path is output-
+    identical to the distributed label-propagation loop on a mixed graph
+    (chains, cliques, self-dups, singleton-free)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyhydroqc_spark.textops import dedup
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 200, size=400)
+    b = rng.integers(0, 200, size=400)
+    keep = a != b
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    ).localCheckpoint(eager=True)
+    local = {
+        (r["doc_id"], r["component"], r["keep"])
+        for r in dedup.dup_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component"], r["keep"])
+        for r in dedup.dup_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 0
 
 
 def test_dup_components_corpus_full_keep_list(spark):
