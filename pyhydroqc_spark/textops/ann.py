@@ -417,6 +417,13 @@ def cosine_dup_pairs(
     makes the candidate set replayable by a SQL oracle."""
     tables = _plane_tables(df, vec_col, n_planes, n_tables, seed, dim, plane_source)
     banded = _with_buckets(df, tables, id_col, vec_col, "id")
+    # pin the bucket-stage parallelism (the simhash_candidates lesson):
+    # banded rows are tiny by BYTES so AQE coalescing would serialize the
+    # CPU-quadratic in-bucket pair enumeration onto one task — measured
+    # 1.7x slower at bench SF (1.04M enumerated pairs, 128 buckets)
+    banded = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "table", "bucket"
+    )
     grouped = (
         banded.groupBy("table", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))

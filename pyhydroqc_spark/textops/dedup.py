@@ -490,6 +490,12 @@ def minhash_candidates(
     pathological hot bucket shows up as one big task, the cue to raise
     ``bands`` (more, narrower buckets), not to cap silently."""
     banded = banded_buckets(sig_df, bands, hash_fn)
+    # pin the bucket-stage parallelism (the simhash/cosine_dup lesson):
+    # banded rows are tiny by BYTES so AQE coalescing would serialize the
+    # CPU-quadratic in-bucket enumeration onto one task
+    banded = banded.repartition(
+        sig_df.sparkSession.sparkContext.defaultParallelism, "band", "bucket"
+    )
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
