@@ -229,11 +229,28 @@ def gapfill(
     O(n²) per partition."""
     from pyspark.sql import Window
 
-    fill = dict(fill) if fill is not None else {
-        c: ("zero" if c in ("cnt", "sum_val") else "interpolate")
-        for c in agg_df.columns
-        if c not in (key, bucket, "tier")
-    }
+    if fill is not None:
+        fill = dict(fill)
+    else:
+        # default: counts/sums zero-fill, numeric stats interpolate;
+        # non-numeric columns (hist array, uniq_sketch binary) densify
+        # only — interpolation arithmetic over them fails plan analysis
+        from pyspark.sql.types import NumericType
+
+        types = {f.name: f.dataType for f in agg_df.schema.fields}
+        fill = {
+            c: (
+                "zero"
+                if c in ("cnt", "sum_val")
+                else (
+                    "interpolate"
+                    if isinstance(types[c], NumericType)
+                    else "null"
+                )
+            )
+            for c in agg_df.columns
+            if c not in (key, bucket, "tier")
+        }
     for c, s in fill.items():
         if s not in FILL_STRATEGIES:
             raise ValueError(f"unknown fill strategy {s!r} for {c!r}")

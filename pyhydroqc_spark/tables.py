@@ -348,7 +348,18 @@ def rewrite_data_files(
 
     Only partitions failing the size test are read or written — the
     check is pure file metadata, no Spark job for healthy partitions.
-    Returns {partition: (files_before, files_after)}."""
+    Returns {partition: (files_before, files_after)}.
+
+    Concurrency: optimistic per-partition validation (the Iceberg commit
+    model) — immediately before each partition's overwrite commit, the
+    CURRENT snapshot's file set for that partition is re-read and must
+    still equal the planning-time set; a concurrent append/overwrite to
+    the same partition aborts THAT partition's rewrite (reported as
+    (files_before, -1), retried on the next maintenance run) instead of
+    silently dropping the newly committed rows. The residual window
+    between the re-check and the commit is single-writer territory:
+    like Iceberg, concurrent writers to one table need an external
+    commit lock for full serializability."""
     sid = table.current_snapshot_id()
     by_part: dict = {}
     for fp, p in table._load(sid)["files"].items():
@@ -362,6 +373,12 @@ def rewrite_data_files(
             continue
         n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
         df = spark.read.parquet(*fps).coalesce(int(n_out))
+        # optimistic validation right before the commit: abort this
+        # partition if its live file set changed since planning
+        current = set(table.files_for_partitions({p}))
+        if current != set(fps):
+            out[p] = (len(fps), -1)
+            continue
         table.overwrite_partition(df, p)
         out[p] = (len(fps), len(table.files_for_partitions({p})))
     return out

@@ -817,11 +817,14 @@ def _marked_spans(
             .where(F.col("__hc") >= max(2, guard_min_count))
             .select("__gh", F.lit(True).alias("__hot"))
         )
+        # hash the id before the mod: a plain pmod(id, 64) silently casts
+        # string ids to NULL (or errors under ANSI), collapsing every hot
+        # gram onto one NULL salt — the exact skew this guard spreads
         flagged = occ.join(F.broadcast(hot), "__gh", "left").withColumn(
             "__salt",
-            F.when(F.col("__hot"), F.pmod(F.col("id"), F.lit(64))).otherwise(
-                F.lit(0)
-            ),
+            F.when(
+                F.col("__hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(64))
+            ).otherwise(F.lit(0)),
         )
         marked = span(
             flagged.withColumn(

@@ -216,10 +216,18 @@ def incremental_dedup(
     )
     if update_store and bounds["n"] > 0:
         tag = f"ids_le_{bounds['hi']}"
+        # buckets FIRST, sigs (carrying the max_id high-water mark) LAST —
+        # dedup_stream's commit order. The reverse order could crash after
+        # the sigs append: max_id already advanced but the batch's bucket
+        # rows gone forever, so later batches would silently miss
+        # duplicates against this one AND the id-order contract blocks a
+        # replay. With sigs last, an interrupted commit leaves only
+        # orphaned bucket rows, which the candidate join ignores (ids
+        # absent from the signature table), and the batch replays cleanly.
+        store.buckets.append(b_new, partition=tag)
         store.sigs.append(
             sig_new, partition=tag, extra={"max_id": _new_max(store, bounds)}
         )
-        store.buckets.append(b_new, partition=tag)
     sig_new.unpersist()
     return decisions
 

@@ -87,6 +87,20 @@ def _group_sizes(df: DataFrame, group_col: str, weight_col: str | None):
     return df.groupBy(group_col).agg(*aggs)
 
 
+def _in_failed(group_col: str, failed: list):
+    """NULL-safe membership in the failed-group list: a NULL stratum must
+    route to the fallback branch when it failed and stay in the good
+    branch otherwise — plain ``isin`` returns NULL for NULL group values,
+    which silently dropped the whole stratum from both branches."""
+    vals = [f for f in failed if f is not None]
+    expr = F.coalesce(
+        F.col(group_col).isin(vals) if vals else F.lit(False), F.lit(False)
+    )
+    if any(f is None for f in failed):
+        expr = expr | F.col(group_col).isNull()
+    return expr
+
+
 def stratified_sample(
     df: DataFrame,
     n_per_group: int,
@@ -113,18 +127,20 @@ def stratified_sample(
             .drop("__u", "__rn")
         )
 
-    from pyspark import StorageLevel
-
     sizes = _group_sizes(df, group_col, None)
     thr = F.least(F.lit(1.0), F.lit(float(safety * n_per_group)) / F.col("__g_n"))
-    # persist the candidates: ~safety·n rows per group BY CONSTRUCTION —
-    # every downstream reference (validation, the rank) reads the cache,
-    # never the corpus again (plans are trees: an unpersisted cand would
-    # re-expand its corpus scan per reference)
+    # localCheckpoint the candidates (~safety·n rows per group BY
+    # CONSTRUCTION): every downstream reference (validation, the rank)
+    # reads the materialized blocks, never the corpus again (plans are
+    # trees: unmaterialized, cand would re-expand its corpus scan per
+    # reference). Checkpoint, NOT persist: a persist was never
+    # unpersisted — a cache-entry leak across calls — while checkpoint
+    # blocks are reclaimed by the ContextCleaner once the returned frame
+    # is garbage-collected (the dup_components pattern).
     cand = (
         base.join(F.broadcast(sizes), group_col)
         .where(F.col("__u") < thr)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # validation: the u-prefix captured enough rows — c >= n, or c == g
     # (the thr==1 whole-group case). This is an EAGER driver decision
@@ -152,13 +168,14 @@ def stratified_sample(
     )
     if not failed:
         return good
+    in_failed = _in_failed(group_col, failed)
     bad = (
-        base.where(F.col(group_col).isin(failed))
+        base.where(in_failed)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_group)
         .drop("__u", "__rn")
     )
-    return good.where(~F.col(group_col).isin(failed)).unionByName(bad)
+    return good.where(~in_failed).unionByName(bad)
 
 
 def token_budget_sample(
@@ -195,8 +212,6 @@ def token_budget_sample(
             F.col("__cb") < budget
         ).drop("__u", "__cb")
 
-    from pyspark import StorageLevel
-
     sizes = _group_sizes(df, group_col, weight_col)
     # expected docs to fill the budget, at the group's mean weight
     need = F.lit(float(budget)) / (F.col("__g_w") / F.col("__g_n"))
@@ -204,10 +219,11 @@ def token_budget_sample(
         F.lit(1.0),
         F.greatest(F.lit(float(safety)) * need, F.lit(16.0)) / F.col("__g_n"),
     )
+    # localCheckpoint, not persist — see stratified_sample
     cand = (
         base.join(F.broadcast(sizes), group_col)
         .where(F.col("__u") < thr)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # eager per-group validation (see stratified_sample): the candidate
     # prefix must carry the budget, or be the whole group
@@ -234,10 +250,11 @@ def token_budget_sample(
     )
     if not failed:
         return good
+    in_failed = _in_failed(group_col, failed)
     bad = (
-        base.where(F.col(group_col).isin(failed))
+        base.where(in_failed)
         .withColumn("__cb", cum_before)
         .where(F.col("__cb") < budget)
         .drop("__u", "__cb")
     )
-    return good.where(~F.col(group_col).isin(failed)).unionByName(bad)
+    return good.where(~in_failed).unionByName(bad)
