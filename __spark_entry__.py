@@ -260,11 +260,14 @@ def _rollup_long_cached(spark, sf_dir):
         # same (user_id; ts, event_id) exchange+sort as row_number(), so
         # the four tier row-sets that need `increment` skip their own
         # per-subtree lag window (was 4 extra exchange+sorts per gate run).
-        # RAW user_id stays in the frame: localCheckpoint preserves the
-        # window's hashpartitioning(user_id), and every downstream
-        # groupBy(user_id, bucket) / gapfill window / grid join is
-        # satisfied by that clustering — the six row-set subtrees run
-        # exchange-free (doc_id is projected back after aggregation).
+        # RAW user_id stays in the frame: the row-sets group on the 8-byte
+        # long key and project the string doc_id back after aggregation —
+        # narrower exchanges (guide §2.3) and cheaper hashing than the
+        # string cast. (An InMemoryRelation persist whose preserved
+        # hashpartitioning(user_id) made the row-sets fully exchange-free
+        # was built and measured: 6-rep interleaved min 2.64 vs 2.47 for
+        # this checkpoint — the columnar cache scan cost more than the
+        # ~100k-row exchanges it removed, so the checkpoint stays.)
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         v = F.col("value")
@@ -276,17 +279,7 @@ def _rollup_long_cached(spark, sf_dir):
             "value",
             counter_increment_expr(v, F.lag("value").over(w)).alias("increment"),
         )
-        # persist, NOT localCheckpoint: the InMemoryRelation advertises the
-        # window's hashpartitioning(user_id) (a LogicalRDD from
-        # localCheckpoint reports UnknownPartitioning), which is what lets
-        # every tier groupBy/gapfill window run exchange-free. Unlike the
-        # r4-era _events_long cache this plan is NOT a subtree any other
-        # query builds (extra user_id/increment columns), so the
-        # CacheManager cannot substitute it elsewhere (ar1_residuals'
-        # no-persist contract stays intact — plan-audited).
-        long_inc = long_inc.persist()
-        long_inc.count()  # eager: concurrent first-use would duplicate work
-        _ROLLUP_LONG_CACHE[key] = long_inc
+        _ROLLUP_LONG_CACHE[key] = long_inc.localCheckpoint(eager=True)
     return _ROLLUP_LONG_CACHE[key]
 
 
