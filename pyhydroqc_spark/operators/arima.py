@@ -344,7 +344,19 @@ def fit_arma(
     t = y[k:]
     if intercept:
         X = np.column_stack([np.ones(len(t)), X])
-    beta, *_ = np.linalg.lstsq(X, t, rcond=None)
+    if q == 0:
+        # AR-only normal equations: X is (n, p[+1]) with tiny p, so
+        # solving XᵀXβ = Xᵀt is ~10x cheaper than the SVD lstsq — the
+        # correction loop's per-event refits are the hot caller. Exact
+        # singularity (constant series + intercept) falls back to the
+        # min-norm lstsq; near-singular explosive estimates are caught
+        # by the unit-root shrinkage below either way.
+        try:
+            beta = np.linalg.solve(X.T @ X, X.T @ t)
+        except np.linalg.LinAlgError:
+            beta, *_ = np.linalg.lstsq(X, t, rcond=None)
+    else:
+        beta, *_ = np.linalg.lstsq(X, t, rcond=None)
     i = 0
     c = 0.0
     if intercept:
