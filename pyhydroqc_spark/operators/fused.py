@@ -341,9 +341,14 @@ def fused_tokens_to_cells(
             "tier",
         )
 
+    from pyspark.sql.types import StringType
+
+    dict_key = isinstance(key_type, StringType)
+
     def gen(batches):
         for pdf in batches:
             keys, buckets, cnts, sums, mins, maxs, tcol = [], [], [], [], [], [], []
+            cats, cat_ix = [], {}
             for doc_id, toks in zip(pdf[key], pdf["tokens"]):
                 tok = np.asarray(toks, dtype=np.int64)
                 x = np.where(
@@ -371,7 +376,18 @@ def fused_tokens_to_cells(
                     mn = np.minimum.reduceat(vmin, starts)
                     mx = np.maximum.reduceat(vmax, starts)
                     empty = cnt == 0
-                    keys.append(np.full(len(starts), doc_id, dtype=object))
+                    if dict_key:
+                        # dictionary-encode the key: one int32 code per
+                        # cell row + one dictionary entry per series —
+                        # the Arrow crossing ships ~4 B/row instead of a
+                        # per-row string (Spark decodes the categorical
+                        # to plain strings; value-identical, tested)
+                        ci = cat_ix.setdefault(doc_id, len(cat_ix))
+                        if ci == len(cats):
+                            cats.append(doc_id)
+                        keys.append(np.full(len(starts), ci, dtype=np.int32))
+                    else:
+                        keys.append(np.full(len(starts), doc_id, dtype=object))
                     buckets.append(bucket[starts])
                     cnts.append(cnt)
                     sums.append(np.where(empty, np.nan, s))
@@ -384,9 +400,12 @@ def fused_tokens_to_cells(
             s = np.concatenate(sums)
             with np.errstate(invalid="ignore", divide="ignore"):
                 avg = s / cnt
+            key_col = np.concatenate(keys)
+            if dict_key:
+                key_col = pd.Categorical.from_codes(key_col, cats)
             yield pd.DataFrame(
                 {
-                    key: np.concatenate(keys),
+                    key: key_col,
                     "bucket_start": pd.to_datetime(np.concatenate(buckets), unit="s"),
                     "cnt": cnt,
                     "sum_val": s,
