@@ -190,3 +190,69 @@ def test_stepwise_deterministic():
 
 def test_stepwise_short_series_degenerates():
     assert arima.auto_order_stepwise(np.arange(5, dtype=float))[::2] == (0, 0)
+
+
+def test_forecast_ar_fast_path_matches_general_recursion():
+    """The r7 q=0 fast path (no innovation pass, truncated history) must
+    be BIT-identical to the general ARMA recursion it bypasses."""
+    rng = np.random.default_rng(23)
+    for trial in range(100):
+        n = int(rng.integers(8, 250))
+        x = np.cumsum(rng.normal(size=n)) + rng.normal() * 5
+        l = int(rng.integers(1, 30))
+        for order in [(1, 1, 0), (2, 1, 0), (3, 0, 0), (0, 1, 0), (2, 2, 0)]:
+            p, d, q = order
+            fast = arima.forecast_arima(x, l, order=order)
+            # general path, inlined (the pre-r7 formulation)
+            y = arima._diff(x, d)
+            c, phi, theta = arima.fit_arma(y, p, q, intercept=(d == 0))
+            _, e = arima.arma_one_step(y, c, phi, theta)
+            hist_y, hist_e, out_y = list(y), list(e), []
+            for _ in range(l):
+                acc = c
+                for j in range(len(phi)):
+                    acc += phi[j] * hist_y[-j - 1] if len(hist_y) > j else 0.0
+                for j in range(len(theta)):
+                    acc += theta[j] * hist_e[-j - 1] if len(hist_e) > j else 0.0
+                out_y.append(acc)
+                hist_y.append(acc)
+                hist_e.append(0.0)
+            out_y = np.asarray(out_y)
+            if d == 0:
+                exp = out_y
+            elif d == 1:
+                exp = x[-1] + np.cumsum(out_y)
+            else:
+                lvl = [x[-2], x[-1]]
+                for v in out_y:
+                    lvl.append(v + 2 * lvl[-1] - lvl[-2])
+                exp = np.asarray(lvl[2:])
+            assert np.array_equal(fast, exp), (trial, order)
+
+
+def test_fit_arma_normal_equations_close_to_lstsq():
+    """The r7 AR-only normal-equations solve must agree with the SVD
+    lstsq to tight tolerance on well-conditioned series, and survive a
+    constant series (exact singularity falls back to lstsq)."""
+    rng = np.random.default_rng(29)
+    for _ in range(50):
+        n = int(rng.integers(30, 400))
+        # stationary AR(1): keeps the estimate inside the unit disk so
+        # the shrinkage guard (applied after either solver) stays inert
+        e = rng.normal(size=n)
+        x = np.empty(n)
+        x[0] = e[0]
+        for t in range(1, n):
+            x[t] = 0.6 * x[t - 1] + e[t]
+        for p in (1, 2, 3):
+            c, phi, _ = arima.fit_arma(x, p, 0, intercept=True)
+            X = np.column_stack(
+                [np.ones(n - p), arima._lagmat(x, p)[:, :p]]
+            )
+            beta, *_ = np.linalg.lstsq(X, x[p:], rcond=None)
+            np.testing.assert_allclose(
+                np.r_[c, phi], beta, rtol=1e-8, atol=1e-10
+            )
+    # constant series: XtX singular -> lstsq fallback, no raise
+    c, phi, _ = arima.fit_arma(np.full(50, 3.0), 1, 0, intercept=True)
+    assert np.isfinite(c) and np.isfinite(phi).all()

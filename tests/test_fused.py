@@ -240,3 +240,22 @@ def test_emit_arrays_equals_rows(spark):
         frames["rows"][frames["arrays"].columns], frames["arrays"],
         check_exact=False, atol=1e-12,
     )
+
+
+def test_interpolate_np_matches_pandas_exactly():
+    """The r7 pure-numpy interpolate replica must be BIT-identical to
+    pd.Series.interpolate(method='linear', limit, limit_direction='both')
+    on a RangeIndex, including limit-binding interior runs and edge runs."""
+    rng = np.random.default_rng(17)
+    for trial in range(300):
+        n = int(rng.integers(1, 80))
+        x = rng.normal(size=n)
+        anomaly = rng.random(n) < rng.uniform(0.05, 0.9)
+        limit = int(rng.integers(1, 6)) if trial % 2 else 10000
+        got = fused.interpolate_np(x, anomaly, limit=limit)
+        exp = (
+            pd.Series(np.where(anomaly, np.nan, x))
+            .interpolate(method="linear", limit=limit, limit_direction="both")
+            .to_numpy()
+        )
+        assert np.array_equal(got, exp, equal_nan=True), (trial, limit)
