@@ -84,3 +84,21 @@ def test_coverage_md_query_count_in_sync():
     assert f"{n}/{n} queries" in text, f"COVERAGE.md out of sync with {n} queries"
     # and every query is oracle-checked (the rows-only set must stay empty)
     assert set(entrymod.queries()) == set(entrymod.oracle_sql())
+
+
+def test_prepared_plan_handles(spark):
+    """r7 prepared-plan handles: repeated invocations with the same
+    (session, sf_dir) return the same lazy DataFrame (plan reuse, no
+    data cached — both counts execute), different sf_dirs get distinct
+    handles, and non-preparable queries (dup_components embeds eager
+    results) rebuild every call."""
+    qs = entrymod.queries()
+    fn = qs["range_counts"]
+    a = fn(spark, SF)
+    b = fn(spark, SF)
+    assert a is b
+    assert a.count() == b.count() > 0
+    w = fn(spark, "/root/testdata/sf0.01")
+    assert w is not a and w.count() > 0
+    dc = qs["dup_components"]
+    assert dc(spark, SF) is not dc(spark, SF)
