@@ -86,19 +86,17 @@ def test_coverage_md_query_count_in_sync():
     assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
 
-def test_prepared_plan_handles(spark):
-    """r7 prepared-plan handles: repeated invocations with the same
-    (session, sf_dir) return the same lazy DataFrame (plan reuse, no
-    data cached — both counts execute), different sf_dirs get distinct
-    handles, and non-preparable queries (dup_components embeds eager
-    results) rebuild every call."""
+def test_queries_rebuild_fresh_per_call(spark):
+    """No memoized handles: repeated invocations return DISTINCT
+    DataFrames (fresh shuffle ids, so a repeated timed run recomputes
+    from parquet instead of reusing the previous action's shuffle files
+    via DAGScheduler stage skipping — the r7 finding that killed the
+    prepared-plan experiment)."""
     qs = entrymod.queries()
-    fn = qs["range_counts"]
-    a = fn(spark, SF)
-    b = fn(spark, SF)
-    assert a is b
-    assert a.count() == b.count() > 0
-    w = fn(spark, "/root/testdata/sf0.01")
-    assert w is not a and w.count() > 0
-    dc = qs["dup_components"]
-    assert dc(spark, SF) is not dc(spark, SF)
+    for name in ("range_counts", "rollup_tiers", "simhash_pairs",
+                 "dup_components", "text_quality"):
+        fn = qs[name]
+        a = fn(spark, SF)
+        b = fn(spark, SF)
+        assert a is not b, name
+    assert qs["range_counts"](spark, SF).count() > 0
